@@ -1,0 +1,214 @@
+"""Config / flag system.
+
+Mirrors the reference's configargparse surface (reference
+nerf_shared/config_parser.py:2-116) so every `configs/*.txt` file runs
+unchanged, without depending on the configargparse package: a small
+ArgumentParser subclass understands `--config <file>` with `key = value`
+lines. Precedence matches configargparse: CLI > config file > defaults.
+
+TPU-specific flags are added at the bottom (mesh shape, precision, Pallas
+toggle); they all have safe defaults so reference configs need no edits.
+"""
+
+from __future__ import annotations
+
+import argparse
+import shlex
+
+
+def _str2bool(v: str) -> bool:
+    return str(v).strip().lower() in ("true", "1", "yes", "on")
+
+
+class ConfigArgumentParser(argparse.ArgumentParser):
+    """argparse.ArgumentParser that accepts ``--config file`` of k = v lines.
+
+    Drop-in replacement for the subset of configargparse behavior the
+    reference relies on (reference config_parser.py:5-7): a config file whose
+    lines are ``key = value``; blank lines and ``#`` comments ignored;
+    command-line flags override file values.
+    """
+
+    def parse_args(self, args=None, namespace=None):  # type: ignore[override]
+        ns, _ = super().parse_known_args(args=args, namespace=None)
+        cfg_path = getattr(ns, "config", None)
+        if cfg_path:
+            file_defaults = self._read_config_file(cfg_path)
+            self.set_defaults(**file_defaults)
+        return super().parse_args(args=args, namespace=namespace)
+
+    def _read_config_file(self, path: str) -> dict:
+        actions = {a.dest: a for a in self._actions}
+        # also allow lookup by option string without dashes
+        by_opt = {}
+        for a in self._actions:
+            for opt in a.option_strings:
+                by_opt[opt.lstrip("-")] = a
+        out = {}
+        with open(path, "r") as f:
+            for raw in f:
+                line = raw.split("#", 1)[0].strip()
+                if not line or "=" not in line:
+                    continue
+                key, val = line.split("=", 1)
+                key, val = key.strip(), val.strip()
+                action = actions.get(key) or by_opt.get(key)
+                if action is None:
+                    continue  # unknown keys in config files are ignored
+                out[action.dest] = self._convert(action, val)
+        return out
+
+    @staticmethod
+    def _convert(action: argparse.Action, val: str):
+        if isinstance(
+            action, (argparse._StoreTrueAction, argparse._StoreFalseAction)
+        ):
+            return _str2bool(val)
+        if action.type is bool:
+            return _str2bool(val)
+        if action.nargs in ("+", "*") or isinstance(action.nargs, int):
+            parts = shlex.split(val.replace(",", " "))
+            conv = action.type or str
+            return [conv(p) for p in parts]
+        if action.type is not None:
+            return action.type(val)
+        return val
+
+
+def config_parser() -> ConfigArgumentParser:
+    """Build the flag set of the reference (config_parser.py:2-116) + TPU flags."""
+    parser = ConfigArgumentParser()
+    parser.add_argument('--config', type=str, default=None,
+                        help='config file path')
+    parser.add_argument("--expname", type=str,
+                        help='experiment name')
+    parser.add_argument("--basedir", type=str, default='./logs/',
+                        help='where to store ckpts and logs')
+    parser.add_argument("--datadir", type=str, default='./data/llff/fern',
+                        help='input data directory')
+    parser.add_argument("--training", action='store_true',
+                        help='run the training loop')
+
+    # training options
+    parser.add_argument("--netdepth", type=int, default=8,
+                        help='layers in network')
+    parser.add_argument("--netwidth", type=int, default=256,
+                        help='channels per layer')
+    parser.add_argument("--netdepth_fine", type=int, default=8,
+                        help='layers in fine network')
+    parser.add_argument("--netwidth_fine", type=int, default=256,
+                        help='channels per layer in fine network')
+    parser.add_argument("--N_rand", type=int, default=32 * 32 * 4,
+                        help='batch size (number of random rays per gradient step)')
+    parser.add_argument("--lrate", type=float, default=5e-4,
+                        help='learning rate')
+    parser.add_argument("--lrate_decay", type=int, default=250,
+                        help='exponential learning rate decay (in 1000 steps)')
+    parser.add_argument("--chunk", type=int, default=1024 * 32,
+                        help='number of rays processed in parallel (memory knob; '
+                             'results identical)')
+    parser.add_argument("--netchunk", type=int, default=1024 * 64,
+                        help='number of pts sent through network in parallel '
+                             '(memory knob; results identical)')
+    parser.add_argument("--no_batching", action='store_true',
+                        help='only take random rays from 1 image at a time')
+    parser.add_argument("--no_reload", action='store_true',
+                        help='do not reload weights from saved ckpt')
+    parser.add_argument("--ft_path", type=str, default=None,
+                        help='specific weights file to reload')
+
+    # rendering options
+    parser.add_argument("--N_samples", type=int, default=64,
+                        help='number of coarse samples per ray')
+    parser.add_argument("--N_importance", type=int, default=0,
+                        help='number of additional fine samples per ray')
+    parser.add_argument("--perturb", type=float, default=1.,
+                        help='set to 0. for no jitter, 1. for jitter')
+    parser.add_argument("--use_viewdirs", action='store_true',
+                        help='use full 5D input instead of 3D')
+    parser.add_argument("--i_embed", type=int, default=0,
+                        help='set 0 for default positional encoding, -1 for none')
+    parser.add_argument("--multires", type=int, default=10,
+                        help='log2 of max freq for positional encoding (3D location)')
+    parser.add_argument("--multires_views", type=int, default=4,
+                        help='log2 of max freq for positional encoding (2D direction)')
+    parser.add_argument("--raw_noise_std", type=float, default=0.,
+                        help='std dev of noise added to regularize sigma_a output')
+
+    parser.add_argument("--render_only", action='store_true',
+                        help='do not optimize, reload weights and render out '
+                             'render_poses path')
+    parser.add_argument("--render_test", action='store_true',
+                        help='render the test set instead of render_poses path')
+    parser.add_argument("--render_factor", type=int, default=0,
+                        help='downsampling factor to speed up rendering')
+
+    # training options (precrop)
+    parser.add_argument("--precrop_iters", type=int, default=0,
+                        help='number of steps to train on central crops')
+    parser.add_argument("--precrop_frac", type=float, default=.5,
+                        help='fraction of img taken for central crops')
+
+    # dataset options
+    parser.add_argument("--dataset_type", type=str, default='llff',
+                        help='options: llff / blender / deepvoxels / LINEMOD')
+    parser.add_argument("--testskip", type=int, default=8,
+                        help='will load 1/N images from test/val sets')
+
+    # deepvoxels flags
+    parser.add_argument("--shape", type=str, default='greek',
+                        help='options : armchair / cube / greek / vase')
+
+    # blender flags
+    parser.add_argument("--white_bkgd", action='store_true',
+                        help='render synthetic data on a white bkgd')
+    parser.add_argument("--half_res", action='store_true',
+                        help='load blender synthetic data at 400x400 instead of 800x800')
+
+    # llff flags
+    parser.add_argument("--factor", type=int, default=8,
+                        help='downsample factor for LLFF images')
+    parser.add_argument("--no_ndc", action='store_true',
+                        help='do not use normalized device coordinates')
+    parser.add_argument("--lindisp", action='store_true',
+                        help='sampling linearly in disparity rather than depth')
+    parser.add_argument("--spherify", action='store_true',
+                        help='set for spherical 360 scenes')
+    parser.add_argument("--llffhold", type=int, default=8,
+                        help='will take every 1/N images as LLFF test set')
+
+    # logging/saving options
+    parser.add_argument("--i_print", type=int, default=100,
+                        help='frequency of console printout and metric logging')
+    parser.add_argument("--i_img", type=int, default=500,
+                        help='frequency of tensorboard image logging')
+    parser.add_argument("--i_weights", type=int, default=10000,
+                        help='frequency of weight ckpt saving')
+    parser.add_argument("--i_testset", type=int, default=50000,
+                        help='frequency of testset saving')
+    parser.add_argument("--i_video", type=int, default=50000,
+                        help='frequency of render_poses video saving')
+    parser.add_argument("--tensorboard", type=_str2bool, default=False,
+                        help='log statistics and test images with tensorboard')
+
+    # ---- TPU-native flags (new in this framework) ----
+    parser.add_argument("--mesh_shape", type=int, nargs='+', default=None,
+                        help='device mesh shape for data parallelism, e.g. '
+                             '"--mesh_shape 8". Default: all local devices on '
+                             'one "data" axis.')
+    parser.add_argument("--precision", type=str, default='fp32',
+                        choices=['fp32', 'bf16'],
+                        help='compute precision for the MLP matmuls')
+    parser.add_argument("--use_pallas", type=_str2bool, default=True,
+                        help='use fused Pallas TPU kernels on the hot path '
+                             '(falls back to pure-jnp twins when unavailable)')
+    parser.add_argument("--jax_seed", type=int, default=0,
+                        help='base PRNG seed for jax.random')
+    parser.add_argument("--N_iters", type=int, default=200000,
+                        help='number of training iterations (reference '
+                             'main.py:60 hardcodes 200000)')
+    parser.add_argument("--ckpt_format", type=str, default='both',
+                        choices=['native', 'tar', 'both'],
+                        help='checkpoint format: native .npz, reference-'
+                             'compatible .tar, or both')
+    return parser

@@ -1,0 +1,442 @@
+"""The volume-rendering engine.
+
+Public surface mirrors the reference Renderer (reference
+nerf_shared/render_utils.py:13-319): ``render_from_rays``,
+``render_from_pose``, ``render_from_batch_poses``, ``render``, ``render_rays``
+with the same return keys (rgb_map / disp_map / acc_map / raw / weights /
+z_vals / rgb0 / disp0 / acc0 / z_std). Models are *passed into* every render
+call rather than owned by the Renderer — the decoupling that makes the
+pose-estimation app possible with frozen weights and a trainable pose
+(reference README.md:102, demo_est_rel_pose.py:80-98).
+
+TPU-first design, deliberately NOT a translation of the reference:
+- ``render_rays`` is one pure function over the whole ray batch; coarse
+  sampling, the coarse MLP, compositing, inverse-CDF resampling, sort-merge,
+  the fine MLP, and the second composite all trace into a single XLA program.
+  The reference's Python chunk loops (render_utils.py:51-65, nerf.py:106)
+  do not exist: ``chunk`` survives only as a memory knob that picks the
+  ``lax.map`` block size for full-image renders.
+- PRNG is an explicit jax.random key threaded through (stratified jitter,
+  inverse-CDF u, sigma noise), so the whole step is replayable.
+- Full-image renders pad H*W rays to a multiple of the block size and
+  ``lax.map`` over fixed-shape blocks: one compile, device-side loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRFConfig, apply_nerf
+from nerf_shared_tpu.ops.compositing import raw2outputs
+from nerf_shared_tpu.ops.rays import get_rays, ndc_rays
+from nerf_shared_tpu.ops.sampling import sample_along_rays, sample_pdf
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Render hyperparameters (reference render_utils.py:14-30). Hashable so
+    it can be a jit static argument."""
+
+    perturb: float = 1.0
+    N_importance: int = 128
+    N_samples: int = 64
+    use_viewdirs: bool = True
+    white_bkgd: bool = True
+    raw_noise_std: float = 0.0
+    ndc: bool = False
+    lindisp: bool = False
+    near: float = 0.0
+    far: float = 1.0
+
+
+def render_rays(
+    params_coarse,
+    params_fine,                       # may be None -> coarse model reused
+    ray_batch: jnp.ndarray,            # [N, 8] or [N, 11] (with viewdirs)
+    key: Optional[jax.Array],
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    retraw: bool = False,
+    retweights: bool = False,
+    overrides: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Render a flat ray batch. Semantics of reference render_utils.py:67-174.
+
+    ``overrides`` optionally pins the three random draws (keys ``t_rand``,
+    ``u``, ``noise_coarse``/``noise_fine``) — the deterministic seams the
+    reference exposes via its pytest flags — for golden-value testing.
+    """
+    overrides = overrides or {}
+    n_rays = ray_batch.shape[0]
+    rays_o, rays_d = ray_batch[:, 0:3], ray_batch[:, 3:6]
+    viewdirs = ray_batch[:, -3:] if ray_batch.shape[-1] > 8 else None
+    near = ray_batch[:, 6:7]
+    far = ray_batch[:, 7:8]
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_strat, k_u, k_noise_c, k_noise_f = jax.random.split(key, 4)
+
+    z_vals = sample_along_rays(
+        k_strat,
+        near,
+        far,
+        rcfg.N_samples,
+        lindisp=rcfg.lindisp,
+        perturb=rcfg.perturb,
+        t_rand=overrides.get("t_rand"),
+    )  # [N, S]
+
+    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+    raw = apply_nerf(params_coarse, ccfg, pts, viewdirs)
+    rgb_map, disp_map, acc_map, weights, _ = raw2outputs(
+        raw,
+        z_vals,
+        rays_d,
+        raw_noise_std=rcfg.raw_noise_std,
+        white_bkgd=rcfg.white_bkgd,
+        key=k_noise_c,
+        noise=overrides.get("noise_coarse"),
+    )
+
+    ret: Dict[str, jnp.ndarray] = {}
+    if rcfg.N_importance > 0:
+        rgb_map_0, disp_map_0, acc_map_0 = rgb_map, disp_map, acc_map
+
+        z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(
+            z_vals_mid,
+            weights[..., 1:-1],
+            rcfg.N_importance,
+            key=k_u,
+            det=(rcfg.perturb == 0.0),
+            u=overrides.get("u"),
+        )
+        # fine sample locations are cut from the autodiff graph
+        # (reference render_utils.py:145 z_samples.detach())
+        z_samples = jax.lax.stop_gradient(z_samples)
+
+        z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+
+        fine_params = params_coarse if params_fine is None else params_fine
+        fine_cfg = ccfg if fcfg is None else fcfg
+        raw = apply_nerf(fine_params, fine_cfg, pts, viewdirs)
+        rgb_map, disp_map, acc_map, weights, _ = raw2outputs(
+            raw,
+            z_vals,
+            rays_d,
+            raw_noise_std=rcfg.raw_noise_std,
+            white_bkgd=rcfg.white_bkgd,
+            key=k_noise_f,
+            noise=overrides.get("noise_fine"),
+        )
+        ret["rgb0"] = rgb_map_0
+        ret["disp0"] = disp_map_0
+        ret["acc0"] = acc_map_0
+        ret["z_std"] = jnp.std(z_samples, axis=-1)
+
+    ret["rgb_map"] = rgb_map
+    ret["disp_map"] = disp_map
+    ret["acc_map"] = acc_map
+    if retraw:
+        ret["raw"] = raw
+    if retweights:
+        ret["weights"] = weights
+        ret["z_vals"] = z_vals
+    del n_rays
+    return ret
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rcfg", "ccfg", "fcfg", "retraw", "retweights", "block"),
+)
+def _render_blocks_jit(
+    params_coarse,
+    params_fine,
+    rays: jnp.ndarray,        # [n_blocks, block, C]
+    keys: jnp.ndarray,        # [n_blocks] PRNG keys
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    retraw: bool,
+    retweights: bool,
+    block: int,
+):
+    """lax.map over fixed-size ray blocks — the device-side replacement for
+    the reference's host-driven chunk loop (render_utils.py:56)."""
+
+    def one_block(args):
+        ray_block, key = args
+        return render_rays(
+            params_coarse,
+            params_fine,
+            ray_block,
+            key,
+            rcfg,
+            ccfg,
+            fcfg,
+            retraw=retraw,
+            retweights=retweights,
+        )
+
+    return jax.lax.map(one_block, (rays, keys))
+
+
+class Renderer:
+    """Stateful facade holding render hyperparameters; numerically a thin
+    wrapper over the pure ``render_rays``. Mirrors reference
+    render_utils.py:13-319."""
+
+    def __init__(
+        self,
+        perturb: float = 1.0,
+        N_importance: int = 128,
+        N_samples: int = 64,
+        use_viewdirs: bool = True,
+        white_bkgd: bool = True,
+        raw_noise_std: float = 0.0,
+        ndc: bool = False,
+        lindisp: bool = False,
+        near: float = 0.0,
+        far: float = 1.0,
+    ):
+        self.cfg = RenderConfig(
+            perturb=float(perturb),
+            N_importance=int(N_importance),
+            N_samples=int(N_samples),
+            use_viewdirs=bool(use_viewdirs),
+            white_bkgd=bool(white_bkgd),
+            raw_noise_std=float(raw_noise_std),
+            ndc=bool(ndc),
+            lindisp=bool(lindisp),
+            near=float(near),
+            far=float(far),
+        )
+        self._training = True
+
+    # --- reference API compatibility (torch nn.Module train/eval) ---
+    def train(self):
+        self._training = True
+        return self
+
+    def eval(self):
+        self._training = False
+        return self
+
+    # --- attribute passthrough so renderer.near etc. work as in reference ---
+    def __getattr__(self, name):
+        cfg = object.__getattribute__(self, "cfg")
+        if hasattr(cfg, name):
+            return getattr(cfg, name)
+        raise AttributeError(name)
+
+    # ------------------------------------------------------------------
+    def render_from_pose(
+        self, H, W, K, chunk, c2w, coarse_model, fine_model, retraw=True, key=None
+    ):
+        rgb, disp, acc, extras = self.render(
+            H, W, K, coarse_model, fine_model, chunk=chunk, c2w=c2w,
+            retraw=retraw, key=key,
+        )
+        return rgb, disp, acc, extras
+
+    def render_from_rays(
+        self, H, W, K, chunk, rays, coarse_model, fine_model, retraw=True, key=None
+    ):
+        rgb, disp, acc, extras = self.render(
+            H, W, K, coarse_model, fine_model, chunk=chunk, rays=rays,
+            retraw=retraw, key=key,
+        )
+        return rgb, disp, acc, extras
+
+    def render(
+        self,
+        H,
+        W,
+        K,
+        coarse_model,
+        fine_model,
+        chunk: int = 1024 * 32,
+        rays=None,
+        retraw: bool = True,
+        c2w=None,
+        c2w_staticcam=None,
+        key: Optional[jax.Array] = None,
+        retweights: bool = False,
+    ):
+        """Render a ray batch or a full image pose. Reference render_utils.py:176-238.
+
+        Returns [rgb, disp, acc, extras]."""
+        rays_flat, sh = self._pack_rays(H, W, K, rays, c2w, c2w_staticcam)
+        all_ret = self.render_flat_rays(
+            rays_flat, coarse_model, fine_model, chunk=chunk, retraw=retraw,
+            retweights=retweights, key=key,
+        )
+        out = {}
+        for k, v in all_ret.items():
+            out[k] = jnp.reshape(v, list(sh[:-1]) + list(v.shape[1:]))
+        k_extract = ["rgb_map", "disp_map", "acc_map"]
+        ret_list = [out[k] for k in k_extract]
+        ret_dict = {k: out[k] for k in out if k not in k_extract}
+        return ret_list + [ret_dict]
+
+    def _pack_rays(self, H, W, K, rays, c2w, c2w_staticcam):
+        """Build the flat [N, 8|11] ray tensor (reference render_utils.py:198-226)."""
+        if c2w is not None:
+            rays_o, rays_d = get_rays(H, W, K, c2w)
+        else:
+            rays_o, rays_d = rays[0], rays[1]
+            rays_o = jnp.asarray(rays_o)
+            rays_d = jnp.asarray(rays_d)
+
+        if self.cfg.use_viewdirs:
+            viewdirs = rays_d
+            if c2w_staticcam is not None:
+                rays_o, rays_d = get_rays(H, W, K, c2w_staticcam)
+            viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+            viewdirs = jnp.reshape(viewdirs, [-1, 3]).astype(jnp.float32)
+
+        sh = rays_d.shape
+        if self.cfg.ndc:
+            focal = np.asarray(K)[0][0]
+            rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+
+        rays_o = jnp.reshape(rays_o, [-1, 3]).astype(jnp.float32)
+        rays_d = jnp.reshape(rays_d, [-1, 3]).astype(jnp.float32)
+        near = self.cfg.near * jnp.ones_like(rays_d[..., :1])
+        far = self.cfg.far * jnp.ones_like(rays_d[..., :1])
+        packed = jnp.concatenate([rays_o, rays_d, near, far], axis=-1)
+        if self.cfg.use_viewdirs:
+            packed = jnp.concatenate([packed, viewdirs], axis=-1)
+        return packed, sh
+
+    def render_flat_rays(
+        self,
+        rays_flat: jnp.ndarray,    # [N, 8|11]
+        coarse_model,
+        fine_model,
+        chunk: int = 1024 * 32,
+        retraw: bool = False,
+        retweights: bool = False,
+        key: Optional[jax.Array] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Device-side blocked render (replaces reference render_batch,
+        render_utils.py:51-65)."""
+        pc, ccfg = _model_parts(coarse_model)
+        pf, fcfg = _model_parts(fine_model)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+
+        n = rays_flat.shape[0]
+        rcfg = self.cfg
+
+        block = min(chunk, n) if n > 0 else chunk
+        n_blocks = -(-n // block)
+        padded = n_blocks * block
+        if padded != n:
+            pad = jnp.broadcast_to(
+                rays_flat[-1:], (padded - n, rays_flat.shape[1])
+            )
+            rays_flat = jnp.concatenate([rays_flat, pad], axis=0)
+        rays_blocked = rays_flat.reshape(n_blocks, block, rays_flat.shape[-1])
+
+        keys = jax.random.split(key, n_blocks)
+
+        ret = _render_blocks_jit(
+            pc,
+            pf,
+            rays_blocked,
+            keys,
+            rcfg,
+            ccfg,
+            fcfg,
+            retraw,
+            retweights,
+            block,
+        )
+        # [n_blocks, block, ...] -> [n, ...]
+        return {
+            k: v.reshape((padded,) + v.shape[2:])[:n] for k, v in ret.items()
+        }
+
+    def render_from_batch_poses(
+        self,
+        H,
+        W,
+        K,
+        chunk,
+        batch_c2w,
+        coarse_model,
+        fine_model,
+        retraw=True,
+        save_directory: str = None,
+        b_combine_as_video: bool = False,
+        tb_writer=None,
+        key: Optional[jax.Array] = None,
+    ):
+        """Render poses to PNGs (+ optional mp4 / TensorBoard), reference
+        render_utils.py:293-319. Rendering is done in eval mode with
+        perturb=0 and no sigma noise (the reference relies on module train/
+        eval state implicitly; here it is explicit)."""
+        import imageio
+
+        from nerf_shared_tpu.utils.metrics import to8b
+
+        eval_renderer = Renderer(
+            **{
+                **dataclasses.asdict(self.cfg),
+                "perturb": 0.0,
+                "raw_noise_std": 0.0,
+            }
+        )
+        if save_directory is not None:
+            os.makedirs(save_directory, exist_ok=True)
+        rgbs = []
+        for i, c2w in enumerate(np.asarray(batch_c2w)):
+            rgb, _, _, _ = eval_renderer.render_from_pose(
+                H,
+                W,
+                K,
+                chunk=chunk,
+                c2w=jnp.asarray(c2w[:3, :4]),
+                coarse_model=coarse_model,
+                fine_model=fine_model,
+                retraw=retraw,
+                key=key,
+            )
+            rgbs.append(np.asarray(rgb))
+            if save_directory is not None:
+                filename = os.path.join(save_directory, "{:03d}.png".format(i))
+                imageio.imwrite(filename, to8b(rgbs[-1]))
+        if b_combine_as_video and save_directory is not None:
+            imageio.mimwrite(
+                os.path.join(save_directory, "video.mp4"),
+                to8b(np.stack(rgbs)),
+                fps=30,
+                quality=8,
+            )
+        if tb_writer is not None:
+            tb_writer.add_images(
+                "Test/Images", np.stack([to8b(r) for r in rgbs]), dataformats="NHWC"
+            )
+        return np.stack(rgbs) if rgbs else np.zeros((0, H, W, 3), np.float32)
+
+
+def _model_parts(model) -> Tuple[Any, Optional[NeRFConfig]]:
+    """Accept a NeRF wrapper, a (params, cfg) tuple, or None."""
+    if model is None:
+        return None, None
+    if isinstance(model, tuple):
+        params, cfg = model
+        return params, cfg
+    return model.params, model.cfg

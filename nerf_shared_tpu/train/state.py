@@ -1,0 +1,74 @@
+"""Training state: coarse+fine params, one Adam optimizer, step counter.
+
+Mirrors the reference's single Adam over the concatenated coarse+fine
+parameter list (reference utils.py:163-172) with the continuous exponential
+LR decay of main.py:107-112: lr(step) = lrate * 0.1^(step / (lrate_decay*1000)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import optax
+from flax import struct
+
+from nerf_shared_tpu.models.nerf import NeRFConfig, init_nerf_params
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Dict[str, Any]          # {"coarse": ..., "fine": ... or absent}
+    opt_state: Any = struct.field(pytree_node=True)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def lr_schedule(lrate: float, lrate_decay: int):
+    """Continuous exponential decay: lrate * 0.1^(step/(lrate_decay*1000)),
+    exactly the reference's manual per-iteration LR update (main.py:107-112)."""
+    decay_steps = lrate_decay * 1000
+    return optax.exponential_decay(
+        init_value=lrate,
+        transition_steps=decay_steps,
+        decay_rate=0.1,
+        staircase=False,
+    )
+
+
+def make_optimizer(lrate: float, lrate_decay: int) -> optax.GradientTransformation:
+    """Adam(betas=(0.9, 0.999), eps=1e-8) matching torch defaults
+    (reference utils.py:170)."""
+    return optax.adam(
+        learning_rate=lr_schedule(lrate, lrate_decay), b1=0.9, b2=0.999, eps=1e-8
+    )
+
+
+def create_train_state(
+    key: jax.Array,
+    coarse_cfg: NeRFConfig,
+    fine_cfg: Optional[NeRFConfig],
+    lrate: float = 5e-4,
+    lrate_decay: int = 250,
+    start_step: int = 0,
+) -> TrainState:
+    kc, kf = jax.random.split(key)
+    params = {"coarse": init_nerf_params(kc, coarse_cfg)}
+    if fine_cfg is not None:
+        params["fine"] = init_nerf_params(kf, fine_cfg)
+    tx = make_optimizer(lrate, lrate_decay)
+    import jax.numpy as jnp
+
+    return TrainState(
+        step=jnp.asarray(start_step, jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
