@@ -63,18 +63,20 @@ def raw2outputs(
             noise = 0.0
     alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma + noise) * dists)  # [N, S]
 
-    # weights = alpha * prod_{j<i} (1 - alpha_j + 1e-10), computed in log space
-    # (log of a quantity in (1e-10, 1]; exact to fp rounding).
-    log_trans = jnp.cumsum(jnp.log(1.0 - alpha + 1e-10), axis=-1)
-    trans = jnp.concatenate(
-        [jnp.ones_like(alpha[..., :1]), jnp.exp(log_trans[..., :-1])], axis=-1
-    )
-    weights = alpha * trans
+    # weights = alpha * prod_{j<i} (1 - alpha_j + 1e-10). cumprod is an
+    # associative scan XLA parallelizes on the VPU; a log-space variant was
+    # tried and rejected — its transpose produces NaN cotangents under
+    # lax.scan (0 * inf at saturated alpha), while cumprod's is exact.
+    weights = alpha * exclusive_cumprod(1.0 - alpha + 1e-10, axis=-1)
 
     rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)  # [N, 3]
     depth_map = jnp.sum(weights * z_vals, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
-    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)
+    # disparity = acc/depth with both terms floored. The reference divides by
+    # acc unguarded (render_utils.py:284) and yields NaN on fully transparent
+    # rays; flooring acc keeps the same value on every non-degenerate ray and
+    # returns 1e10 (max disparity) instead of NaN on empty ones.
+    disp_map = 1.0 / jnp.maximum(1e-10, depth_map / jnp.maximum(acc_map, 1e-10))
 
     if white_bkgd:
         rgb_map = rgb_map + (1.0 - acc_map[..., None])

@@ -1,0 +1,115 @@
+"""Device-resident ray pipeline.
+
+The reference precomputes rays for EVERY pixel of every train image on the
+host, shuffles a giant [(N·H·W), 3, 3] tensor, and slices it per step
+(reference utils.py:360-442); in no_batching mode it regenerates a full H×W
+ray grid per iteration and gathers N_rand of them with host-side numpy RNG
+(utils.py:413-440). Both are host-bound.
+
+TPU-native replacement: keep only the images [N,H,W,3] and poses [N,3,4] in
+HBM. Each step draws pixel ids with jax.random *inside the jitted step* and
+generates exactly N_rand rays on device from the intrinsics — no giant ray
+tensor, no host RNG, no transfer. Sampling modes:
+
+- ``single_image=True`` (reference no_batching): one random train image per
+  step, N_rand pixels from it, with the precrop window for the first
+  precrop_iters steps (utils.py:421-430).
+- ``single_image=False`` (reference use_batching): N_rand (image, pixel)
+  pairs drawn across all train images. The reference's epoch-wise shuffle
+  without replacement is replaced by uniform i.i.d. sampling — identical in
+  expectation, and it keeps the step a pure function of (key, step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class PixelSamplerSpec:
+    """Static description of the sampling problem (hashable; jit-static)."""
+
+    H: int
+    W: int
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    N_rand: int
+    single_image: bool = True
+    precrop_iters: int = 0
+    precrop_frac: float = 0.5
+
+    @classmethod
+    def from_K(cls, H, W, K, N_rand, **kw):
+        K = np.asarray(K)
+        return cls(
+            H=int(H), W=int(W),
+            fx=float(K[0, 0]), fy=float(K[1, 1]),
+            cx=float(K[0, 2]), cy=float(K[1, 2]),
+            N_rand=int(N_rand), **kw,
+        )
+
+
+def _pixel_dirs(x, y, spec: PixelSamplerSpec):
+    """Camera-frame ray directions for float pixel coords (cf. utils.py:37)."""
+    return jnp.stack(
+        [
+            (x - spec.cx) / spec.fx,
+            -(y - spec.cy) / spec.fy,
+            -jnp.ones_like(x),
+        ],
+        axis=-1,
+    )
+
+
+def sample_ray_batch(
+    key: jax.Array,
+    images: jnp.ndarray,     # [Nt, H, W, 3] train images (device-resident)
+    poses: jnp.ndarray,      # [Nt, 3, 4]    train poses
+    step: jnp.ndarray,       # scalar int (for precrop gating)
+    spec: PixelSamplerSpec,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Draw N_rand rays + target pixels fully on device.
+
+    Returns (rays_o [N,3], rays_d [N,3], target [N,3]).
+    """
+    n_train = images.shape[0]
+    k_img, k_y, k_x = jax.random.split(key, 3)
+    N = spec.N_rand
+    H, W = spec.H, spec.W
+
+    if spec.single_image:
+        img_idx = jax.random.randint(k_img, (), 0, n_train)
+        # precrop window (active while step < precrop_iters): sample rows in
+        # [H//2 - dH, H//2 + dH), cols likewise (reference utils.py:421-430)
+        dH = int(H // 2 * spec.precrop_frac)
+        dW = int(W // 2 * spec.precrop_frac)
+        in_precrop = step < spec.precrop_iters
+        row_lo = jnp.where(in_precrop, H // 2 - dH, 0)
+        row_span = jnp.where(in_precrop, 2 * dH, H)
+        col_lo = jnp.where(in_precrop, W // 2 - dW, 0)
+        col_span = jnp.where(in_precrop, 2 * dW, W)
+        y = row_lo + (jax.random.uniform(k_y, (N,)) * row_span).astype(jnp.int32)
+        x = col_lo + (jax.random.uniform(k_x, (N,)) * col_span).astype(jnp.int32)
+        pose = poses[img_idx]
+        dirs = _pixel_dirs(x.astype(jnp.float32), y.astype(jnp.float32), spec)
+        rays_d = jnp.einsum("nc,rc->nr", dirs, pose[:3, :3])
+        rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+        target = images[img_idx, y, x]
+    else:
+        img_idx = jax.random.randint(k_img, (N,), 0, n_train)
+        y = jax.random.randint(k_y, (N,), 0, H)
+        x = jax.random.randint(k_x, (N,), 0, W)
+        pose = poses[img_idx]  # [N, 3, 4]
+        dirs = _pixel_dirs(x.astype(jnp.float32), y.astype(jnp.float32), spec)
+        rays_d = jnp.einsum("nc,nrc->nr", dirs, pose[:, :3, :3])
+        rays_o = pose[:, :3, 3]
+        target = images[img_idx, y, x]
+
+    return rays_o, rays_d, target

@@ -1,0 +1,258 @@
+"""The jitted training step.
+
+Loss semantics match reference main.py:85-104: MSE between the fine render
+and target pixels, plus the coarse branch's MSE when hierarchical sampling is
+on; Adam update; continuous exponential LR decay handled by the optax
+schedule (train/state.py).
+
+TPU-first: the entire iteration — ray packing, coarse+fine render, loss,
+backward, Adam — is ONE compiled XLA program with donated state (no
+per-iteration host work; the reference's host-driven loop at main.py:67-143
+becomes a device-side program). A sharded variant runs the same step under
+shard_map with the ray batch split over the mesh's 'data' axis and gradients
+psum-reduced over ICI (SURVEY.md §2.2: ray-batch data parallelism is the
+natural NeRF parallelism).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
+from nerf_shared_tpu.train.state import TrainState
+from nerf_shared_tpu.utils.metrics import img2mse, mse2psnr
+
+
+def pack_ray_batch(
+    rays_o: jnp.ndarray,      # [N, 3]
+    rays_d: jnp.ndarray,      # [N, 3]
+    rcfg: RenderConfig,
+    H: int,
+    W: int,
+    focal: float,
+) -> jnp.ndarray:
+    """Flat [N, 8|11] ray tensor: [o, d, near, far(, viewdirs)], the packing
+    of reference render_utils.py:205-226 as a pure function."""
+    from nerf_shared_tpu.ops.rays import ndc_rays
+
+    if rcfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if rcfg.ndc:
+        rays_o, rays_d = ndc_rays(H, W, focal, 1.0, rays_o, rays_d)
+    near = jnp.full_like(rays_d[..., :1], rcfg.near)
+    far = jnp.full_like(rays_d[..., :1], rcfg.far)
+    parts = [rays_o, rays_d, near, far]
+    if rcfg.use_viewdirs:
+        parts.append(viewdirs)
+    return jnp.concatenate(parts, axis=-1)
+
+
+def nerf_loss(
+    params: Dict,
+    ray_batch: jnp.ndarray,
+    target: jnp.ndarray,
+    key: jax.Array,
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98)."""
+    ret = render_rays(
+        params["coarse"],
+        params.get("fine"),
+        ray_batch,
+        key,
+        rcfg,
+        ccfg,
+        fcfg,
+        retraw=False,
+    )
+    img_loss = img2mse(ret["rgb_map"], target)
+    loss = img_loss
+    aux = {"img_loss": img_loss, "psnr": mse2psnr(img_loss)}
+    if "rgb0" in ret:
+        img_loss0 = img2mse(ret["rgb0"], target)
+        loss = loss + img_loss0
+        aux["img_loss0"] = img_loss0
+        aux["psnr0"] = mse2psnr(img_loss0)
+    aux["loss"] = loss
+    return loss, aux
+
+
+def make_train_step(
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    H: int,
+    W: int,
+    focal: float,
+    donate: bool = True,
+):
+    """Single-device jitted step over an explicit ray batch.
+
+    step(state, batch_rays [2,N,3], target [N,3], key) -> (state, metrics)
+    """
+
+    def step(state: TrainState, batch_rays, target, key):
+        ray_batch = pack_ray_batch(
+            batch_rays[0], batch_rays[1], rcfg, H, W, focal
+        )
+
+        def loss_fn(params):
+            return nerf_loss(params, ray_batch, target, key, rcfg, ccfg, fcfg)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads)
+        return new_state, aux
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_train_step(
+    mesh,
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    H: int,
+    W: int,
+    focal: float,
+    donate: bool = True,
+):
+    """Data-parallel step: rays/targets sharded over the mesh's 'data' axis,
+    params/opt state replicated, gradients pmean'ed over ICI.
+
+    The only collectives NeRF DP needs are this gradient reduction and the
+    eval-image all_gather (SURVEY.md §5) — both emitted by XLA from the
+    shard_map annotations below.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def step(state: TrainState, batch_rays, target, key):
+        # per-device key: fold in the data-axis index so each shard draws
+        # independent stratified jitter / sigma noise
+        axis_idx = jax.lax.axis_index("data")
+        key = jax.random.fold_in(key, axis_idx)
+
+        ray_batch = pack_ray_batch(
+            batch_rays[0], batch_rays[1], rcfg, H, W, focal
+        )
+
+        def loss_fn(params):
+            return nerf_loss(params, ray_batch, target, key, rcfg, ccfg, fcfg)
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grads = jax.lax.pmean(grads, axis_name="data")
+        aux = jax.lax.pmean(aux, axis_name="data")
+        # PSNR is nonlinear in MSE: recompute from the globally averaged MSE
+        aux["psnr"] = mse2psnr(aux["img_loss"])
+        if "img_loss0" in aux:
+            aux["psnr0"] = mse2psnr(aux["img_loss0"])
+        new_state = state.apply_gradients(grads)
+        return new_state, aux
+
+    sharded = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(), P(None, "data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_fused_train_step(
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    spec,                       # PixelSamplerSpec
+    mesh=None,
+    inner_steps: int = 1,
+    donate: bool = True,
+):
+    """The production step: pixel sampling + render + backward + Adam fused
+    into one XLA program, optionally lax.scan'ed over ``inner_steps``
+    iterations so the host dispatches once per superstep.
+
+    With a mesh, runs under shard_map: each device samples its own
+    N_rand/n_data rays (independent keys via fold_in(axis_index)), computes
+    local grads, and psum-means them over the 'data' axis. Images/poses are
+    replicated (a few hundred MB at most for the reference datasets).
+
+    step(state, images, poses, key) -> (state, metrics_of_last_inner_step)
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_shared_tpu.train.pipeline import sample_ray_batch
+
+    sharded = mesh is not None
+    if sharded:
+        n_data = mesh.shape["data"]
+        assert spec.N_rand % n_data == 0, (
+            f"N_rand={spec.N_rand} not divisible by data axis {n_data}"
+        )
+        local_spec = dataclasses_replace_nrand(spec, spec.N_rand // n_data)
+    else:
+        local_spec = spec
+
+    def one_step(state: TrainState, images, poses, key):
+        if sharded:
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        k_sample, k_render = jax.random.split(key)
+        rays_o, rays_d, target = sample_ray_batch(
+            k_sample, images, poses, state.step, local_spec
+        )
+        ray_batch = pack_ray_batch(
+            rays_o, rays_d, rcfg, spec.H, spec.W, spec.fx
+        )
+
+        def loss_fn(params):
+            return nerf_loss(
+                params, ray_batch, target, k_render, rcfg, ccfg, fcfg
+            )
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if sharded:
+            grads = jax.lax.pmean(grads, axis_name="data")
+            aux = jax.lax.pmean(aux, axis_name="data")
+            aux["psnr"] = mse2psnr(aux["img_loss"])
+            if "img_loss0" in aux:
+                aux["psnr0"] = mse2psnr(aux["img_loss0"])
+        return state.apply_gradients(grads), aux
+
+    def superstep(state: TrainState, images, poses, key):
+        if inner_steps == 1:
+            return one_step(state, images, poses, key)
+
+        def body(carry, i):
+            st = carry
+            st, aux = one_step(st, images, poses, jax.random.fold_in(key, i))
+            return st, aux
+
+        state, auxes = jax.lax.scan(
+            body, state, jnp.arange(inner_steps, dtype=jnp.int32)
+        )
+        last_aux = jax.tree_util.tree_map(lambda a: a[-1], auxes)
+        return state, last_aux
+
+    if sharded:
+        fn = jax.shard_map(
+            superstep,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    else:
+        fn = superstep
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def dataclasses_replace_nrand(spec, n):
+    import dataclasses
+
+    return dataclasses.replace(spec, N_rand=int(n))

@@ -1,0 +1,206 @@
+"""Training-step tests: LR schedule parity, overfit smoke test, sharded step
+equivalence on the 8-device virtual CPU mesh (SURVEY.md §4 implications)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.parallel.mesh import make_mesh, replicate
+from nerf_shared_tpu.render.renderer import RenderConfig
+from nerf_shared_tpu.train.pipeline import PixelSamplerSpec, sample_ray_batch
+from nerf_shared_tpu.train.state import create_train_state, lr_schedule
+from nerf_shared_tpu.train.step import (
+    make_fused_train_step,
+    make_sharded_train_step,
+    make_train_step,
+)
+
+
+def test_lr_schedule_matches_reference_formula():
+    """lr(step) = lrate * 0.1^(step/(lrate_decay*1000)) (main.py:107-112)."""
+    sched = lr_schedule(5e-4, 250)
+    for step in (0, 1, 1000, 250000, 500000):
+        want = 5e-4 * 0.1 ** (step / (250 * 1000))
+        np.testing.assert_allclose(float(sched(step)), want, rtol=1e-6)
+
+
+def _tiny_setup(use_fine=True, N_samples=6, N_importance=6):
+    ccfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    fcfg = ccfg if use_fine else None
+    rcfg = RenderConfig(
+        N_samples=N_samples,
+        N_importance=N_importance if use_fine else 0,
+        near=2.0,
+        far=6.0,
+        white_bkgd=False,
+        perturb=1.0,
+    )
+    state = create_train_state(
+        jax.random.PRNGKey(0), ccfg, fcfg, lrate=5e-3, lrate_decay=250
+    )
+    return state, rcfg, ccfg, fcfg
+
+
+def _toy_batch(n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    rays_o = np.zeros((n, 3), np.float32)
+    rays_d = rng.standard_normal((n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    batch_rays = jnp.asarray(np.stack([rays_o, rays_d]))
+    # constant-color scene: learnable to near-zero loss (overfit smoke test)
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+    return batch_rays, target
+
+
+def test_train_step_decreases_loss():
+    state, rcfg, ccfg, fcfg = _tiny_setup()
+    step = make_train_step(rcfg, ccfg, fcfg, H=8, W=8, focal=5.0, donate=False)
+    batch_rays, target = _toy_batch()
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        state, aux = step(state, batch_rays, target, jax.random.fold_in(key, i))
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[:3] + losses[-3:]
+    assert int(state.step) == 30
+
+
+def test_step_counter_and_metrics():
+    state, rcfg, ccfg, fcfg = _tiny_setup()
+    step = make_train_step(rcfg, ccfg, fcfg, H=8, W=8, focal=5.0, donate=False)
+    batch_rays, target = _toy_batch()
+    state, aux = step(state, batch_rays, target, jax.random.PRNGKey(0))
+    for k in ("loss", "img_loss", "psnr", "img_loss0", "psnr0"):
+        assert k in aux
+        assert np.isfinite(float(aux[k]))
+
+
+def test_sharded_step_matches_single_device():
+    """Same batch, same key: shard_map over 8 virtual devices must produce
+    the same update as the single-device step (up to fp32 reduction order)."""
+    mesh = make_mesh()
+    assert mesh.devices.size == 8, "conftest must provide 8 virtual devices"
+
+    state, rcfg, ccfg, fcfg = _tiny_setup()
+    # perturb/noise off so both paths see identical randomness-free math;
+    # per-ray loss means DP-mean == global mean when shards are equal-sized
+    rcfg_det = rcfg.__class__(
+        **{**rcfg.__dict__, "perturb": 0.0, "raw_noise_std": 0.0}
+    )
+    batch_rays, target = _toy_batch(n=64)
+
+    single = make_train_step(rcfg_det, ccfg, fcfg, H=8, W=8, focal=5.0,
+                             donate=False)
+    sharded = make_sharded_train_step(mesh, rcfg_det, ccfg, fcfg, H=8, W=8,
+                                      focal=5.0, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    s1, aux1 = single(state, batch_rays, target, key)
+    s2, aux2 = sharded(replicate(mesh, state), batch_rays, target, key)
+
+    np.testing.assert_allclose(
+        float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5
+    )
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(p1, p2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_pixel_sampler_single_image():
+    H = W = 16
+    images = jnp.asarray(np.random.default_rng(0).random((3, H, W, 3)),
+                         jnp.float32)
+    poses = jnp.asarray(
+        np.stack([np.eye(3, 4, dtype=np.float32)] * 3)
+    )
+    spec = PixelSamplerSpec(H=H, W=W, fx=10.0, fy=10.0, cx=8.0, cy=8.0,
+                            N_rand=32, single_image=True)
+    ro, rd, tgt = sample_ray_batch(
+        jax.random.PRNGKey(0), images, poses, jnp.asarray(0), spec
+    )
+    assert ro.shape == (32, 3) and rd.shape == (32, 3) and tgt.shape == (32, 3)
+    # origins identical (one image -> one camera center)
+    assert np.allclose(np.asarray(ro), np.asarray(ro)[0])
+
+
+def test_pixel_sampler_precrop():
+    """During precrop, all sampled pixels must lie in the center crop
+    (reference utils.py:421-430)."""
+    H = W = 20
+    images = jnp.ones((2, H, W, 3), jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(3, 4, dtype=np.float32)] * 2))
+    spec = PixelSamplerSpec(H=H, W=W, fx=10.0, fy=10.0, cx=10.0, cy=10.0,
+                            N_rand=256, single_image=True,
+                            precrop_iters=10, precrop_frac=0.5)
+    _, rd, _ = sample_ray_batch(
+        jax.random.PRNGKey(0), images, poses, jnp.asarray(0), spec
+    )
+    # camera-frame dir x-range: |(x - cx)/fx| <= dW/fx = 5/10
+    # identity pose: world dirs == camera dirs
+    assert np.abs(np.asarray(rd)[:, 0]).max() <= 0.5 + 1e-6
+    # after precrop ends, the full image is sampled
+    _, rd2, _ = sample_ray_batch(
+        jax.random.PRNGKey(0), images, poses, jnp.asarray(10), spec
+    )
+    assert np.abs(np.asarray(rd2)[:, 0]).max() > 0.5
+
+
+def test_pixel_sampler_batching_mode():
+    H = W = 8
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((4, H, W, 3)), jnp.float32)
+    poses_np = np.stack(
+        [np.concatenate([np.eye(3), np.full((3, 1), i, np.float32)], 1)
+         for i in range(4)]
+    ).astype(np.float32)
+    poses = jnp.asarray(poses_np)
+    spec = PixelSamplerSpec(H=H, W=W, fx=5.0, fy=5.0, cx=4.0, cy=4.0,
+                            N_rand=64, single_image=False)
+    ro, rd, tgt = sample_ray_batch(
+        jax.random.PRNGKey(0), images, poses, jnp.asarray(0), spec
+    )
+    # multiple distinct origins -> rays drawn across images
+    assert len(np.unique(np.asarray(ro)[:, 0])) > 1
+
+
+def test_fused_step_runs_and_learns():
+    """Fused sampling+train step on a constant-color scene must drive loss
+    down (the end-to-end overfit smoke test, SURVEY.md §4)."""
+    H = W = 8
+    images = jnp.full((2, H, W, 3), 0.6, jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(3, 4, dtype=np.float32)] * 2))
+    state, rcfg, ccfg, fcfg = _tiny_setup()
+    spec = PixelSamplerSpec(H=H, W=W, fx=5.0, fy=5.0, cx=4.0, cy=4.0,
+                            N_rand=32, single_image=True)
+    step = make_fused_train_step(rcfg, ccfg, fcfg, spec, donate=False)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for i in range(40):
+        state, aux = step(state, images, poses, jax.random.fold_in(key, i))
+        if first is None:
+            first = float(aux["loss"])
+    assert float(aux["loss"]) < first * 0.5
+
+
+def test_fused_step_sharded_and_scanned():
+    """shard_map + lax.scan superstep: compiles and runs on the 8-device
+    virtual mesh, counter advances by inner_steps."""
+    mesh = make_mesh()
+    H = W = 8
+    images = jnp.full((2, H, W, 3), 0.3, jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(3, 4, dtype=np.float32)] * 2))
+    state, rcfg, ccfg, fcfg = _tiny_setup()
+    spec = PixelSamplerSpec(H=H, W=W, fx=5.0, fy=5.0, cx=4.0, cy=4.0,
+                            N_rand=64, single_image=True)
+    step = make_fused_train_step(rcfg, ccfg, fcfg, spec, mesh=mesh,
+                                 inner_steps=4, donate=False)
+    state = replicate(mesh, state)
+    images = replicate(mesh, images)
+    poses = replicate(mesh, poses)
+    state, aux = step(state, images, poses, jax.random.PRNGKey(0))
+    assert int(state.step) == 4
+    assert np.isfinite(float(aux["loss"]))
