@@ -1,0 +1,88 @@
+"""Benchmark: lego-config training throughput (rays/sec/chip) on real hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Workload = the reference's lego recipe (configs/lego.txt: N_rand=1024 rays/
+step, 64 coarse + 128 fine samples, 8x256 MLP with viewdirs, white_bkgd,
+800x800 intrinsics) on synthetic image data (datasets are not bundled; the
+math per step is identical regardless of pixel content).
+
+Baseline: the reference publishes no numbers (BASELINE.md). The comparison
+constant below is the upstream-lineage nerf-pytorch throughput on a single
+NVIDIA V100 (~2.8 it/s at 1024 rays/step ~= 2,900 rays/s), the same code
+this reference was refactored from (reference README.md:204-212).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_RAYS_PER_SEC = 2900.0  # nerf-pytorch lego, 1x V100 (see docstring)
+
+
+def main():
+    from nerf_shared_tpu.models.nerf import NeRFConfig
+    from nerf_shared_tpu.render.renderer import RenderConfig
+    from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.train.step import make_fused_train_step
+
+    H = W = 800
+    N_RAND = 1024
+    INNER = 20
+
+    ccfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
+                      multires_views=4, skips=(4,))
+    rcfg = RenderConfig(N_samples=64, N_importance=128, near=2.0, far=6.0,
+                        use_viewdirs=True, white_bkgd=True, perturb=1.0)
+    focal = 0.5 * W / np.tan(0.5 * 0.6911112944989161)
+    K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
+    spec = PixelSamplerSpec.from_K(H, W, K, N_RAND, single_image=True,
+                                   precrop_iters=0)
+
+    state = create_train_state(jax.random.PRNGKey(0), ccfg, ccfg,
+                               lrate=5e-4, lrate_decay=500)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((8, H, W, 3)).astype(np.float32))
+    poses = jnp.asarray(
+        np.stack([np.eye(3, 4) for _ in range(8)]).astype(np.float32)
+    )
+
+    step = make_fused_train_step(rcfg, ccfg, ccfg, spec, inner_steps=INNER)
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup; fence with a host fetch (under the axon tunnel a
+    # plain block_until_ready has been observed to return before the queued
+    # computation finished, inflating throughput ~200x)
+    state, aux = step(state, images, poses, jax.random.fold_in(key, 0))
+    assert int(state.step) == INNER
+    float(aux["loss"])
+
+    n_dispatch = 10
+    t0 = time.perf_counter()
+    for i in range(1, n_dispatch + 1):
+        state, aux = step(state, images, poses, jax.random.fold_in(key, i))
+    final_loss = float(aux["loss"])
+    final_step = int(state.step)
+    dt = time.perf_counter() - t0
+    assert final_step == (n_dispatch + 1) * INNER
+    assert np.isfinite(final_loss)
+
+    rays_per_sec = n_dispatch * INNER * N_RAND / dt
+    print(
+        json.dumps(
+            {
+                "metric": "lego_800p_train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

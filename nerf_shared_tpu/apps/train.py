@@ -1,0 +1,181 @@
+"""Training entry point: the `python main.py --config configs/X.txt` flow.
+
+Behavioral parity with reference main.py:17-147 (dataset load, model/
+optimizer/renderer construction, checkpoint resume, the 200k-step loop with
+LR decay and periodic checkpoint/testset/console hooks) — redesigned so the
+hot loop is device-side:
+
+- pixel sampling + render + backward + Adam run as ONE jitted program
+  (train/step.py make_fused_train_step), lax.scan'ed over `i_print`-sized
+  supersteps: the host wakes up only to log, checkpoint, or render.
+- on a multi-chip mesh the same program runs under shard_map with the ray
+  batch split over the 'data' axis.
+- render_only mode renders render_poses (or the test set with render_test)
+  to PNGs + mp4 from the newest checkpoint, replacing the reference's dead
+  render_path (reference utils.py:330-358 recurses into itself; its working
+  equivalent is render_from_batch_poses, render_utils.py:293).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.data.datasets import load_datasets
+from nerf_shared_tpu.factory import get_renderer, get_train_state, nerf_configs
+from nerf_shared_tpu.models.nerf import NeRF
+from nerf_shared_tpu.parallel.mesh import make_mesh, replicate
+from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+from nerf_shared_tpu.train.step import make_fused_train_step
+from nerf_shared_tpu.utils import checkpoints as ckpt_utils
+from nerf_shared_tpu.utils.logging import (
+    copy_log_dir,
+    make_tb_writer,
+    print_statistics,
+)
+
+
+def _models_from_state(state, ccfg, fcfg):
+    coarse = NeRF(ccfg, state.params["coarse"])
+    fine = NeRF(fcfg, state.params["fine"]) if "fine" in state.params else None
+    return coarse, fine
+
+
+def run(args) -> None:
+    if args.render_only:
+        render_only(args)
+        return
+    if not args.training:
+        # reference main.py:145-147 falls through to custom functionality
+        print("--training not set; nothing to do (see --render_only)")
+        return
+    train(args)
+
+
+def train(args):
+    ds = load_datasets(args)
+    H, W, focal = ds.hwf
+    copy_log_dir(args)
+    tb_writer = make_tb_writer(args)
+
+    ccfg, fcfg = nerf_configs(args)
+    state = get_train_state(args)
+    state, start = ckpt_utils.load_checkpoint(state, args)
+    renderer = get_renderer(args, ds.bds_dict)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if (args.mesh_shape and int(np.prod(args.mesh_shape)) > 1) or n_dev > 1:
+        mesh = make_mesh(args.mesh_shape)
+        print(f"mesh: {mesh}")
+
+    spec = PixelSamplerSpec.from_K(
+        H, W, ds.K, args.N_rand,
+        single_image=args.no_batching,
+        precrop_iters=args.precrop_iters,
+        precrop_frac=args.precrop_frac,
+    )
+
+    # device-resident training images/poses (train split only)
+    images_tr = jnp.asarray(ds.images[ds.i_train])
+    poses_tr = jnp.asarray(ds.poses[ds.i_train][:, :3, :4])
+
+    # supersteps: scan inner_steps iterations per dispatch, aligned with the
+    # logging cadence so every printed metric is exact
+    cadences = [c for c in
+                (args.i_print, args.i_weights, args.i_testset, args.i_img)
+                if c > 0]
+    inner = int(np.gcd.reduce(cadences)) if cadences else 100
+    inner = max(1, min(inner, args.N_iters))
+    rcfg = renderer.cfg
+    step_fn = make_fused_train_step(
+        rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner
+    )
+    if mesh is not None:
+        state = replicate(mesh, state)
+        images_tr = replicate(mesh, images_tr)
+        poses_tr = replicate(mesh, poses_tr)
+
+    key = jax.random.PRNGKey(args.jax_seed)
+    N_iters = args.N_iters + 1
+    print(f"Begin: {len(ds.i_train)} train views, {len(ds.i_test)} test views, "
+          f"{inner} steps/dispatch")
+
+    i = start + 1
+    t0 = time.perf_counter()
+    rays_done = 0
+    while i < N_iters:
+        state, aux = step_fn(state, images_tr, poses_tr,
+                             jax.random.fold_in(key, i))
+        i += inner
+        rays_done += inner * args.N_rand
+        last = i - 1
+
+        if args.i_print > 0 and last % args.i_print == 0:
+            dt = time.perf_counter() - t0
+            rps = rays_done / dt if dt > 0 else 0.0
+            print_statistics(
+                aux["loss"], aux["psnr"], last, tb_writer,
+                extra={"rays/sec": f"{rps:,.0f}"},
+            )
+            t0 = time.perf_counter()
+            rays_done = 0
+
+        if args.i_weights > 0 and last % args.i_weights == 0:
+            paths = ckpt_utils.save_checkpoints(
+                args.basedir, args.expname, state, last, fmt=args.ckpt_format
+            )
+            print(f"Saved checkpoints at {paths}")
+
+        if args.i_testset > 0 and last % args.i_testset == 0 and last > 0:
+            coarse, fine = _models_from_state(state, ccfg, fcfg)
+            testsavedir = os.path.join(
+                args.basedir, args.expname, f"testset_{last:06d}"
+            )
+            renderer.render_from_batch_poses(
+                H, W, ds.K, args.chunk, ds.poses[ds.i_test],
+                coarse, fine, retraw=False,
+                save_directory=testsavedir, tb_writer=tb_writer,
+            )
+            print(f"Saved test set renders to {testsavedir}")
+
+    # final checkpoint
+    ckpt_utils.save_checkpoints(
+        args.basedir, args.expname, state, N_iters - 1, fmt=args.ckpt_format
+    )
+    return state
+
+
+def render_only(args):
+    """Reload newest weights and render render_poses (or the test set) to
+    PNGs + video, reference render_path semantics (utils.py:330-358, fixed)."""
+    ds = load_datasets(args)
+    H, W, focal = ds.hwf
+    if args.render_factor > 0:
+        H, W = H // args.render_factor, W // args.render_factor
+        K = ds.K.copy()
+        K[:2] = K[:2] / args.render_factor
+    else:
+        K = ds.K
+
+    ccfg, fcfg = nerf_configs(args)
+    state = get_train_state(args)
+    state, start = ckpt_utils.load_checkpoint(state, args)
+    renderer = get_renderer(args, ds.bds_dict)
+    coarse, fine = _models_from_state(state, ccfg, fcfg)
+
+    suffix = "test" if args.render_test else "path"
+    outdir = os.path.join(
+        args.basedir, args.expname, f"renderonly_{suffix}_{start:06d}"
+    )
+    poses = ds.render_poses[:, :3, :4] if ds.render_poses.ndim == 3 else ds.render_poses
+    rgbs = renderer.render_from_batch_poses(
+        H, W, K, args.chunk, poses, coarse, fine,
+        retraw=False, save_directory=outdir, b_combine_as_video=True,
+    )
+    print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
+    return outdir

@@ -1,0 +1,83 @@
+"""Model / renderer / optimizer factories — the args -> objects glue layer.
+
+Mirrors the reference factory surface (reference utils.py:119-172:
+create_nerf_models, get_renderer, get_optimizer) so migrating code maps
+one-to-one onto this framework.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from nerf_shared_tpu.models.nerf import NeRF, NeRFConfig
+from nerf_shared_tpu.render.renderer import Renderer
+from nerf_shared_tpu.train.state import TrainState, create_train_state
+
+
+def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
+    """Coarse + (optional) fine model configs from flags
+    (reference utils.py:119-139; output_ch=5 quirk kept for parity — it only
+    matters when use_viewdirs=False, reference nerf.py:94)."""
+    output_ch = 5 if args.N_importance > 0 else 4
+    ccfg = NeRFConfig(
+        D=args.netdepth,
+        W=args.netwidth,
+        output_ch=output_ch,
+        skips=(4,),
+        use_viewdirs=args.use_viewdirs,
+        multires=args.multires,
+        multires_views=args.multires_views,
+        i_embed=args.i_embed,
+    )
+    fcfg = None
+    if args.N_importance > 0:
+        fcfg = NeRFConfig(
+            D=args.netdepth_fine,
+            W=args.netwidth_fine,
+            output_ch=output_ch,
+            skips=(4,),
+            use_viewdirs=args.use_viewdirs,
+            multires=args.multires,
+            multires_views=args.multires_views,
+            i_embed=args.i_embed,
+        )
+    return ccfg, fcfg
+
+
+def create_nerf_models(args, key=None) -> Tuple[NeRF, Optional[NeRF]]:
+    """Instantiate coarse + fine NeRF wrappers (reference utils.py:119-139)."""
+    key = key if key is not None else jax.random.PRNGKey(args.jax_seed)
+    kc, kf = jax.random.split(key)
+    ccfg, fcfg = nerf_configs(args)
+    coarse = NeRF.create(kc, ccfg)
+    fine = NeRF.create(kf, fcfg) if fcfg is not None else None
+    return coarse, fine
+
+
+def get_renderer(args, bds_dict) -> Renderer:
+    """Renderer from flags + dataset bounds; NDC only for LLFF without
+    no_ndc (reference utils.py:141-161)."""
+    ndc = args.dataset_type == "llff" and not args.no_ndc
+    return Renderer(
+        perturb=args.perturb,
+        N_importance=args.N_importance,
+        N_samples=args.N_samples,
+        use_viewdirs=args.use_viewdirs,
+        white_bkgd=args.white_bkgd,
+        raw_noise_std=args.raw_noise_std,
+        ndc=ndc,
+        lindisp=args.lindisp,
+        **bds_dict,
+    )
+
+
+def get_train_state(args, key=None) -> TrainState:
+    """TrainState with one Adam over coarse(+fine) params
+    (reference utils.py:163-172 + main.py:107-112 LR decay)."""
+    key = key if key is not None else jax.random.PRNGKey(args.jax_seed)
+    ccfg, fcfg = nerf_configs(args)
+    return create_train_state(
+        key, ccfg, fcfg, lrate=args.lrate, lrate_decay=args.lrate_decay
+    )

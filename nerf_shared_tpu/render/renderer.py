@@ -419,12 +419,18 @@ class Renderer:
                 filename = os.path.join(save_directory, "{:03d}.png".format(i))
                 imageio.imwrite(filename, to8b(rgbs[-1]))
         if b_combine_as_video and save_directory is not None:
-            imageio.mimwrite(
-                os.path.join(save_directory, "video.mp4"),
-                to8b(np.stack(rgbs)),
-                fps=30,
-                quality=8,
-            )
+            frames = to8b(np.stack(rgbs))
+            try:
+                imageio.mimwrite(
+                    os.path.join(save_directory, "video.mp4"),
+                    frames, fps=30, quality=8,
+                )
+            except (ValueError, IOError):
+                # no ffmpeg backend available: fall back to GIF (PIL backend)
+                imageio.mimwrite(
+                    os.path.join(save_directory, "video.gif"),
+                    frames, duration=1000 / 30,
+                )
         if tb_writer is not None:
             tb_writer.add_images(
                 "Test/Images", np.stack([to8b(r) for r in rgbs]), dataformats="NHWC"

@@ -118,11 +118,15 @@ def flat_to_adam_state(tx, params, flat: Dict[str, np.ndarray]):
 
     def replace_part(part):
         if isinstance(part, optax.ScaleByAdamState):
-            return optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+            # jnp.array(copy=True): every leaf must own its buffer, or jit
+            # donation of the state rejects the doubly-donated buffer
+            return optax.ScaleByAdamState(
+                count=jnp.array(count, copy=True), mu=mu, nu=nu
+            )
         if isinstance(part, optax.ScaleByScheduleState):
             # the LR schedule's step counter must resume too, or the decayed
             # learning rate would reset to its initial value
-            return optax.ScaleByScheduleState(count=count)
+            return optax.ScaleByScheduleState(count=jnp.array(count, copy=True))
         return part
 
     is_stateful = lambda x: isinstance(  # noqa: E731

@@ -1,0 +1,105 @@
+"""Config parser tests: reference flag surface + config-file semantics
+(reference config_parser.py:2-116)."""
+
+import numpy as np
+
+from nerf_shared_tpu.config import config_parser
+
+
+def test_defaults_match_reference():
+    args = config_parser().parse_args([])
+    assert args.netdepth == 8 and args.netwidth == 256
+    assert args.netdepth_fine == 8 and args.netwidth_fine == 256
+    assert args.N_rand == 4096
+    assert args.lrate == 5e-4 and args.lrate_decay == 250
+    assert args.chunk == 1024 * 32 and args.netchunk == 1024 * 64
+    assert args.N_samples == 64 and args.N_importance == 0
+    assert args.perturb == 1.0
+    assert args.multires == 10 and args.multires_views == 4
+    assert args.dataset_type == "llff" and args.testskip == 8
+    assert args.factor == 8 and args.llffhold == 8
+    assert args.i_print == 100 and args.i_weights == 10000
+    assert args.i_testset == 50000 and args.i_video == 50000
+    assert not args.use_viewdirs and not args.white_bkgd
+    assert not args.no_batching and not args.half_res
+
+
+def test_config_file_lego_style(tmp_path):
+    cfg = tmp_path / "lego.txt"
+    cfg.write_text(
+        """
+expname = blender_paper_lego
+basedir = ./logs
+datadir = ./data/nerf_synthetic/lego
+dataset_type = blender
+training = True
+
+no_batching = True
+use_viewdirs = True
+white_bkgd = True
+lrate_decay = 500
+
+N_samples = 64
+N_importance = 128
+N_rand = 1024
+
+precrop_iters = 500
+precrop_frac = 0.5
+
+half_res = True
+"""
+    )
+    args = config_parser().parse_args(["--config", str(cfg)])
+    assert args.expname == "blender_paper_lego"
+    assert args.dataset_type == "blender"
+    assert args.training is True
+    assert args.no_batching is True and args.use_viewdirs is True
+    assert args.white_bkgd is True and args.half_res is True
+    assert args.lrate_decay == 500
+    assert args.N_importance == 128 and args.N_rand == 1024
+    assert args.precrop_iters == 500 and args.precrop_frac == 0.5
+
+
+def test_cli_overrides_config(tmp_path):
+    cfg = tmp_path / "c.txt"
+    cfg.write_text("N_rand = 1024\nlrate = 1e-3\n")
+    args = config_parser().parse_args(
+        ["--config", str(cfg), "--N_rand", "2048"]
+    )
+    assert args.N_rand == 2048  # CLI wins
+    assert args.lrate == 1e-3   # config beats default
+
+
+def test_comments_and_unknown_keys_ignored(tmp_path):
+    cfg = tmp_path / "c.txt"
+    cfg.write_text(
+        "# comment line\nN_samples = 32  # trailing comment\nbogus_key = 7\n"
+    )
+    args = config_parser().parse_args(["--config", str(cfg)])
+    assert args.N_samples == 32
+
+
+def test_scientific_notation_and_bools(tmp_path):
+    cfg = tmp_path / "c.txt"
+    cfg.write_text("raw_noise_std = 1e0\nspherify = False\nno_ndc = True\n")
+    args = config_parser().parse_args(["--config", str(cfg)])
+    assert args.raw_noise_std == 1.0
+    assert args.spherify is False and args.no_ndc is True
+
+
+def test_repo_configs_parse():
+    import glob
+
+    for path in glob.glob("configs/*.txt"):
+        args = config_parser().parse_args(["--config", path])
+        assert args.expname, path
+        assert args.N_rand > 0
+
+
+def test_tpu_flags():
+    args = config_parser().parse_args(
+        ["--mesh_shape", "4", "2", "--precision", "bf16", "--use_pallas", "False"]
+    )
+    assert args.mesh_shape == [4, 2]
+    assert args.precision == "bf16"
+    assert args.use_pallas is False

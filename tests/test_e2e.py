@@ -1,0 +1,156 @@
+"""End-to-end slice: train on a tiny synthetic blender scene through the real
+CLI path (config file -> load -> fused train -> checkpoint -> render), the
+minimum end-to-end slice of SURVEY.md §7."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerf_shared_tpu.apps.train import render_only, run, train
+from nerf_shared_tpu.config import config_parser
+from nerf_shared_tpu.data.images import imwrite_u8
+
+
+def _write_scene(root, size=16, n_train=4, n_val=1, n_test=2):
+    """A tiny blender-format scene: solid-color sphere-ish blob on black."""
+    rng = np.random.default_rng(0)
+    for split, n in (("train", n_train), ("val", n_val), ("test", n_test)):
+        frames = []
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        for i in range(n):
+            yy, xx = np.mgrid[:size, :size]
+            blob = ((yy - size / 2) ** 2 + (xx - size / 2) ** 2) < (size / 3) ** 2
+            img = np.zeros((size, size, 4), np.uint8)
+            img[..., 0] = blob * 200
+            img[..., 1] = blob * 80
+            img[..., 3] = blob * 255
+            rel = f"{split}/r_{i}"
+            imwrite_u8(os.path.join(root, rel + ".png"), img)
+            th = 2 * np.pi * (i / max(n, 1))
+            pose = np.eye(4)
+            pose[0, 3] = 4.0 * np.sin(th)
+            pose[2, 3] = 4.0 * np.cos(th)
+            frames.append({"file_path": rel, "transform_matrix": pose.tolist()})
+        meta = {"camera_angle_x": 0.8, "near": 2.0, "far": 6.0, "frames": frames}
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+
+
+def _write_config(root, datadir, logdir, **overrides):
+    cfg = dict(
+        expname="tiny_e2e",
+        basedir=logdir,
+        datadir=datadir,
+        dataset_type="blender",
+        training=True,
+        no_batching=True,
+        use_viewdirs=True,
+        white_bkgd=True,
+        N_samples=8,
+        N_importance=8,
+        N_rand=64,
+        netdepth=2,
+        netwidth=32,
+        netdepth_fine=2,
+        netwidth_fine=32,
+        multires=4,
+        multires_views=2,
+        lrate=5e-3,
+        precrop_iters=4,
+        precrop_frac=0.5,
+        testskip=1,
+        N_iters=24,
+        i_print=8,
+        i_weights=24,
+        i_testset=0,
+        i_img=0,
+        i_video=0,
+        ckpt_format="both",
+    )
+    cfg.update(overrides)
+    path = os.path.join(root, "tiny.txt")
+    with open(path, "w") as f:
+        for k, v in cfg.items():
+            f.write(f"{k} = {v}\n")
+    return path
+
+
+def test_e2e_train_checkpoint_render(tmp_path):
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(root, datadir, logdir)
+
+    args = config_parser().parse_args(["--config", cfg_path])
+    run(args)
+
+    expdir = os.path.join(logdir, "tiny_e2e")
+    # provenance files (reference utils.py:315-328)
+    assert os.path.exists(os.path.join(expdir, "args.txt"))
+    assert os.path.exists(os.path.join(expdir, "config.txt"))
+    # checkpoints in both formats
+    assert glob.glob(os.path.join(expdir, "*.ckpt.npz"))
+    assert glob.glob(os.path.join(expdir, "*.tar"))
+
+    # resume: run again with more iters; must pick up the newest checkpoint
+    args2 = config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "32"]
+    )
+    run(args2)
+
+    # render_only from the trained checkpoint
+    args3 = config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256"]
+    )
+    outdir = render_only(args3)
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert len(pngs) == 2  # two test poses
+    assert glob.glob(os.path.join(outdir, "video.*"))  # mp4 or gif fallback
+
+
+def test_e2e_overfit_psnr_rises(tmp_path):
+    """PSNR on the training views must rise substantially when overfitting a
+    tiny scene — the quality smoke test (SURVEY.md §4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_shared_tpu.data.datasets import load_datasets
+    from nerf_shared_tpu.factory import get_renderer, get_train_state, nerf_configs
+    from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+    from nerf_shared_tpu.train.step import make_fused_train_step
+
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    os.makedirs(datadir)
+    _write_scene(datadir, size=16, n_train=3)
+    cfg_path = _write_config(root, datadir, os.path.join(root, "logs"))
+    args = config_parser().parse_args(
+        ["--config", cfg_path, "--N_rand", "256", "--precrop_iters", "0"]
+    )
+
+    ds = load_datasets(args)
+    H, W, _ = ds.hwf
+    ccfg, fcfg = nerf_configs(args)
+    state = get_train_state(args)
+    renderer = get_renderer(args, ds.bds_dict)
+    spec = PixelSamplerSpec.from_K(H, W, ds.K, args.N_rand, single_image=True)
+    step = make_fused_train_step(renderer.cfg, ccfg, fcfg, spec, donate=False)
+
+    images = jnp.asarray(ds.images[ds.i_train])
+    poses = jnp.asarray(ds.poses[ds.i_train][:, :3, :4])
+    key = jax.random.PRNGKey(0)
+
+    psnrs = []
+    for i in range(200):
+        state, aux = step(state, images, poses, jax.random.fold_in(key, i))
+        psnrs.append(float(aux["psnr"]))
+    early = np.mean(psnrs[:10])
+    late = np.mean(psnrs[-10:])
+    assert late > early + 5.0, (early, late)
+    assert late > 20.0, late
