@@ -1,0 +1,276 @@
+"""iNeRF-style relative camera pose estimation.
+
+Capability parity with the reference example
+(examples/relative_pose_estimation_demo/demo_est_rel_pose.py): given a
+frozen trained NeRF and an observed image, recover the camera pose by
+minimizing photometric MSE through the differentiable renderer. Pipeline:
+
+1. SIFT keypoints -> dilated interest-region mask (host, cv2) —
+   reference demo_est_rel_pose.py:35-52, 151-164.
+2. 300 Adam steps on SE(3) screw parameters (w, v, theta), LR decayed
+   0.8^((k+1)/100) — reference :74-102.
+3. Rotation/translation error reporting vs ground truth — reference :105-125.
+
+TPU-first: the WHOLE optimization step — pose exp-map, per-pixel ray
+generation, hierarchical render, MSE, backward, Adam — is one jitted XLA
+program; pixels are drawn on device from the precomputed interest-region
+coordinate list. Per step the host does nothing but dispatch. Ray generation
+happens only for the sampled batch (the reference regenerates all H*W rays
+every step, demo_est_rel_pose.py:82-85).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.ops.se3 import screw_transform
+from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
+from nerf_shared_tpu.train.step import pack_ray_batch
+from nerf_shared_tpu.utils.metrics import img2mse
+
+
+# ---------------------------------------------------------------------------
+# host-side: interest-point detection (cv2 SIFT)
+# ---------------------------------------------------------------------------
+
+
+def find_POI(img_rgb_u8: np.ndarray) -> np.ndarray:
+    """SIFT keypoints -> unique integer xy pixel coords [N, 2]
+    (reference demo_est_rel_pose.py:151-164)."""
+    import cv2
+
+    gray = cv2.cvtColor(img_rgb_u8, cv2.COLOR_RGB2GRAY)
+    sift = cv2.SIFT_create()
+    keypoints = sift.detect(gray, None)
+    xy = np.array([kp.pt for kp in keypoints]).astype(int)
+    if xy.size == 0:
+        return np.zeros((0, 2), int)
+    return np.unique(xy, axis=0)
+
+
+def interest_region_coords(
+    img_rgb_u8: np.ndarray,
+    dil_iter: int = 3,
+    kernel_size: int = 5,
+    sampling_strategy: str = "interest_region",
+) -> np.ndarray:
+    """Pixel coords [M, 2] (x, y) to sample the photometric loss at:
+    dilated SIFT-keypoint regions / raw keypoints / all pixels
+    (reference demo_est_rel_pose.py:39-52)."""
+    import cv2
+
+    H, W = img_rgb_u8.shape[:2]
+    if sampling_strategy == "random":
+        ys, xs = np.mgrid[:H, :W]
+        return np.stack([xs.ravel(), ys.ravel()], -1)
+
+    poi = find_POI(img_rgb_u8)
+    if poi.shape[0] == 0:  # featureless image: fall back to all pixels
+        ys, xs = np.mgrid[:H, :W]
+        return np.stack([xs.ravel(), ys.ravel()], -1)
+    if sampling_strategy == "interest_point":
+        return poi
+
+    mask = np.zeros((H, W), np.uint8)
+    mask[poi[:, 1].clip(0, H - 1), poi[:, 0].clip(0, W - 1)] = 1
+    kernel = np.ones((kernel_size, kernel_size), np.uint8)
+    mask = cv2.dilate(mask, kernel, iterations=dil_iter).astype(bool)
+    ys, xs = np.nonzero(mask)
+    return np.stack([xs, ys], -1)
+
+
+# ---------------------------------------------------------------------------
+# device-side: the jitted pose-optimization step
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseOptConfig:
+    batch_size: int = 512
+    lrate: float = 0.01
+    n_steps: int = 300
+    H: int = 0
+    W: int = 0
+    fx: float = 0.0
+    fy: float = 0.0
+    cx: float = 0.0
+    cy: float = 0.0
+
+    @classmethod
+    def from_K(cls, H, W, K, **kw):
+        K = np.asarray(K)
+        return cls(H=int(H), W=int(W), fx=float(K[0, 0]), fy=float(K[1, 1]),
+                   cx=float(K[0, 2]), cy=float(K[1, 2]), **kw)
+
+
+def init_pose_params(key: jax.Array) -> Dict[str, jnp.ndarray]:
+    """Near-zero screw parameters (reference camera_transf init,
+    demo_est_rel_pose.py:206-208)."""
+    kw, kv, kt = jax.random.split(key, 3)
+    return {
+        "w": jax.random.normal(kw, (3,)) * 1e-6,
+        "v": jax.random.normal(kv, (3,)) * 1e-6,
+        "theta": jax.random.normal(kt, ()) * 1e-6,
+    }
+
+
+def apply_pose(pose_params: Dict, start_pose: jnp.ndarray) -> jnp.ndarray:
+    """Current pose estimate: exp(screw) @ start_pose [4,4]."""
+    T = screw_transform(pose_params["w"], pose_params["v"], pose_params["theta"])
+    return T @ start_pose
+
+
+def _rays_for_pixels(xy: jnp.ndarray, pose: jnp.ndarray, cfg: PoseOptConfig):
+    """World rays for integer pixel coords [N,2] under pose [4,4] —
+    differentiable w.r.t. pose."""
+    x = xy[:, 0].astype(jnp.float32)
+    y = xy[:, 1].astype(jnp.float32)
+    dirs = jnp.stack(
+        [(x - cfg.cx) / cfg.fx, -(y - cfg.cy) / cfg.fy, -jnp.ones_like(x)],
+        axis=-1,
+    )
+    rays_d = jnp.einsum("nc,rc->nr", dirs, pose[:3, :3])
+    rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
+    return rays_o, rays_d
+
+
+def make_pose_opt_step(
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    pcfg: PoseOptConfig,
+):
+    """One jitted iteration of pose optimization.
+
+    step(pose_params, opt_state, k, coords, image, start_pose, mparams, key)
+      -> (pose_params, opt_state, loss)
+    """
+    # Adam whose LR follows the reference decay 0.8^((k+1)/100) applied
+    # before step k+1 == 0.8^(k/100)·lrate at step k... the reference sets
+    # the NEXT step's lr after stepping, so step k uses 0.8^(k/100)·lrate.
+    schedule = lambda count: pcfg.lrate * (0.8 ** (count / 100.0))  # noqa: E731
+    tx = optax.adam(learning_rate=schedule, b1=0.9, b2=0.999, eps=1e-8)
+
+    def step(pose_params, opt_state, coords, image, start_pose, mparams, key):
+        k_pix, k_render = jax.random.split(key)
+        idx = jax.random.randint(
+            k_pix, (pcfg.batch_size,), 0, coords.shape[0]
+        )
+        xy = coords[idx]
+        target = image[xy[:, 1], xy[:, 0]]
+
+        def loss_fn(pp):
+            pose = apply_pose(pp, start_pose)
+            rays_o, rays_d = _rays_for_pixels(xy, pose, pcfg)
+            ray_batch = pack_ray_batch(
+                rays_o, rays_d, rcfg, pcfg.H, pcfg.W, pcfg.fx
+            )
+            ret = render_rays(
+                mparams["coarse"], mparams.get("fine"), ray_batch, k_render,
+                rcfg, ccfg, fcfg, retraw=False,
+            )
+            return img2mse(ret["rgb_map"], target)
+
+        loss, grads = jax.value_and_grad(loss_fn)(pose_params)
+        updates, opt_state = tx.update(grads, opt_state, pose_params)
+        pose_params = optax.apply_updates(pose_params, updates)
+        return pose_params, opt_state, loss
+
+    return tx, jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# error metrics vs ground truth (reference demo_est_rel_pose.py:105-125)
+# ---------------------------------------------------------------------------
+
+
+def pose_errors(pose: np.ndarray, gt_pose: np.ndarray) -> Dict[str, float]:
+    def angles(m):
+        phi = np.arctan2(m[1, 0], m[0, 0]) * 180 / np.pi
+        theta = (
+            np.arctan2(-m[2, 0], np.sqrt(m[2, 1] ** 2 + m[2, 2] ** 2))
+            * 180 / np.pi
+        )
+        psi = np.arctan2(m[2, 1], m[2, 2]) * 180 / np.pi
+        return phi, theta, psi
+
+    def wrap(err):
+        return abs(err) if abs(err) < 300 else abs(abs(err) - 360)
+
+    pa, pb, pc = angles(np.asarray(pose))
+    ga, gb, gc = angles(np.asarray(gt_pose))
+    rot_error = wrap(ga - pa) + wrap(gb - pb) + wrap(gc - pc)
+    t_pose = np.linalg.norm(np.asarray(pose)[:3, 3])
+    t_gt = np.linalg.norm(np.asarray(gt_pose)[:3, 3])
+    return {
+        "rot_error_deg": float(rot_error),
+        "translation_error": float(abs(t_gt - t_pose)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# the full estimation loop
+# ---------------------------------------------------------------------------
+
+
+def estimate_relative_pose(
+    mparams: Dict,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    rcfg: RenderConfig,
+    sensor_image_u8: np.ndarray,   # [H, W, 3] uint8
+    start_pose: np.ndarray,        # [4, 4]
+    K,
+    pcfg: Optional[PoseOptConfig] = None,
+    obs_img_pose: Optional[np.ndarray] = None,
+    sampling_strategy: str = "interest_region",
+    dil_iter: int = 3,
+    kernel_size: int = 5,
+    key: Optional[jax.Array] = None,
+    print_every: int = 20,
+):
+    """Optimize the camera pose of ``sensor_image`` against a frozen NeRF.
+
+    Returns (pose [4,4], history list of dicts)."""
+    H, W = sensor_image_u8.shape[:2]
+    if pcfg is None:
+        pcfg = PoseOptConfig.from_K(H, W, K)
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    coords = interest_region_coords(
+        sensor_image_u8, dil_iter, kernel_size, sampling_strategy
+    )
+    coords = jnp.asarray(coords)
+    image = jnp.asarray(sensor_image_u8.astype(np.float32) / 255.0)
+    start_pose = jnp.asarray(start_pose, jnp.float32)
+
+    # render with frozen weights; keep stochastic sampling for regularization
+    rcfg_frozen = dataclasses.replace(rcfg, raw_noise_std=0.0)
+    tx, step = make_pose_opt_step(rcfg_frozen, ccfg, fcfg, pcfg)
+    k_init, key = jax.random.split(key)
+    pose_params = init_pose_params(k_init)
+    opt_state = tx.init(pose_params)
+
+    history = []
+    for k in range(pcfg.n_steps):
+        pose_params, opt_state, loss = step(
+            pose_params, opt_state, coords, image, start_pose, mparams,
+            jax.random.fold_in(key, k),
+        )
+        if print_every and ((k + 1) % print_every == 0 or k == 0):
+            pose_np = np.asarray(apply_pose(pose_params, start_pose))
+            rec = {"step": k, "loss": float(loss)}
+            if obs_img_pose is not None:
+                rec.update(pose_errors(pose_np, obs_img_pose))
+            history.append(rec)
+            print("  ".join(f"{kk}: {vv}" for kk, vv in rec.items()))
+
+    pose = np.asarray(apply_pose(pose_params, start_pose))
+    return pose, history
