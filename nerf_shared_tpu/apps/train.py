@@ -91,7 +91,12 @@ def train(args):
                 if c > 0]
     inner = int(np.gcd.reduce(cadences)) if cadences else 100
     inner = max(1, min(inner, args.N_iters))
-    rcfg = renderer.cfg
+    # training always uses the XLA autodiff path: the fused Pallas kernel is
+    # a forward-pass optimization (its custom_vjp backward re-runs the jnp
+    # twin, which would make training slower, not faster)
+    import dataclasses as _dc
+
+    rcfg = _dc.replace(renderer.cfg, use_pallas=False)
     step_fn = make_fused_train_step(
         rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner
     )
@@ -116,10 +121,14 @@ def train(args):
         last = i - 1
 
         if args.i_print > 0 and last % args.i_print == 0:
+            # fetch BEFORE reading the clock: dispatches are async and the
+            # host fetch is what waits for the queued supersteps to finish
+            loss_v = float(aux["loss"])
+            psnr_v = float(aux["psnr"])
             dt = time.perf_counter() - t0
             rps = rays_done / dt if dt > 0 else 0.0
             print_statistics(
-                aux["loss"], aux["psnr"], last, tb_writer,
+                loss_v, psnr_v, last, tb_writer,
                 extra={"rays/sec": f"{rps:,.0f}"},
             )
             t0 = time.perf_counter()

@@ -60,6 +60,9 @@ def get_renderer(args, bds_dict) -> Renderer:
     """Renderer from flags + dataset bounds; NDC only for LLFF without
     no_ndc (reference utils.py:141-161)."""
     ndc = args.dataset_type == "llff" and not args.no_ndc
+    use_pallas = bool(getattr(args, "use_pallas", False)) and (
+        jax.default_backend() == "tpu"
+    )
     return Renderer(
         perturb=args.perturb,
         N_importance=args.N_importance,
@@ -69,6 +72,8 @@ def get_renderer(args, bds_dict) -> Renderer:
         raw_noise_std=args.raw_noise_std,
         ndc=ndc,
         lindisp=args.lindisp,
+        precision=getattr(args, "precision", "fp32"),
+        use_pallas=use_pallas,
         **bds_dict,
     )
 

@@ -39,6 +39,18 @@ from nerf_shared_tpu.ops.rays import get_rays, ndc_rays
 from nerf_shared_tpu.ops.sampling import sample_along_rays, sample_pdf
 
 
+def _apply_model(params, mcfg, pts, viewdirs, rcfg):
+    """MLP evaluation honoring the render engine's precision/kernel policy."""
+    dtype = jnp.bfloat16 if rcfg.precision == "bf16" else jnp.float32
+    if rcfg.use_pallas:
+        from nerf_shared_tpu.ops.pallas.fused_mlp import fused_nerf_forward
+
+        return fused_nerf_forward(
+            params, mcfg, pts, viewdirs, compute_dtype=dtype
+        )
+    return apply_nerf(params, mcfg, pts, viewdirs, compute_dtype=dtype)
+
+
 @dataclasses.dataclass(frozen=True)
 class RenderConfig:
     """Render hyperparameters (reference render_utils.py:14-30). Hashable so
@@ -54,6 +66,12 @@ class RenderConfig:
     lindisp: bool = False
     near: float = 0.0
     far: float = 1.0
+    # compute dtype for the MLP matmuls: 'fp32' or 'bf16' (params stay fp32;
+    # bf16 feeds the MXU at full rate and halves activation HBM traffic)
+    precision: str = "fp32"
+    # evaluate the MLP with the fused Pallas kernel (TPU only; forward pass —
+    # autodiff falls back to the jnp twin via custom_vjp recompute)
+    use_pallas: bool = False
 
 
 def render_rays(
@@ -96,7 +114,7 @@ def render_rays(
     )  # [N, S]
 
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-    raw = apply_nerf(params_coarse, ccfg, pts, viewdirs)
+    raw = _apply_model(params_coarse, ccfg, pts, viewdirs, rcfg)
     rgb_map, disp_map, acc_map, weights, _ = raw2outputs(
         raw,
         z_vals,
@@ -129,7 +147,7 @@ def render_rays(
 
         fine_params = params_coarse if params_fine is None else params_fine
         fine_cfg = ccfg if fcfg is None else fcfg
-        raw = apply_nerf(fine_params, fine_cfg, pts, viewdirs)
+        raw = _apply_model(fine_params, fine_cfg, pts, viewdirs, rcfg)
         rgb_map, disp_map, acc_map, weights, _ = raw2outputs(
             raw,
             z_vals,
@@ -209,6 +227,8 @@ class Renderer:
         lindisp: bool = False,
         near: float = 0.0,
         far: float = 1.0,
+        precision: str = "fp32",
+        use_pallas: bool = False,
     ):
         self.cfg = RenderConfig(
             perturb=float(perturb),
@@ -221,6 +241,8 @@ class Renderer:
             lindisp=bool(lindisp),
             near=float(near),
             far=float(far),
+            precision=str(precision),
+            use_pallas=bool(use_pallas),
         )
         self._training = True
 

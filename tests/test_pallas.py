@@ -1,0 +1,140 @@
+"""Fused Pallas kernel vs pure-jnp twin equivalence (interpret mode on CPU —
+the kernel-correctness strategy of SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_shared_tpu.models.nerf import NeRFConfig, apply_nerf, init_nerf_params
+from nerf_shared_tpu.ops.pallas.fused_mlp import fused_nerf_forward, pack_params
+
+
+def _setup(use_viewdirs=True, multires=10, multires_views=4, D=8, W=256,
+           skips=(4,), seed=0):
+    cfg = NeRFConfig(D=D, W=W, multires=multires, multires_views=multires_views,
+                     use_viewdirs=use_viewdirs, skips=skips)
+    params = init_nerf_params(jax.random.PRNGKey(seed), cfg)
+    return cfg, params
+
+
+def _points(n_rays=4, n_samples=6, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = jnp.asarray(rng.standard_normal((n_rays, n_samples, 3)).astype(np.float32))
+    dirs = rng.standard_normal((n_rays, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, -1, keepdims=True)
+    return pts, jnp.asarray(dirs)
+
+
+def test_fused_matches_jnp_flagship():
+    """Full lego architecture: 8x256, skip at 4, viewdirs."""
+    cfg, params = _setup()
+    pts, dirs = _points()
+    got = fused_nerf_forward(params, cfg, pts, dirs)
+    want = apply_nerf(params, cfg, pts, dirs)
+    assert got.shape == want.shape == (4, 6, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_jnp_no_viewdirs():
+    cfg, params = _setup(use_viewdirs=False)
+    pts, _ = _points()
+    got = fused_nerf_forward(params, cfg, pts, None)
+    want = apply_nerf(params, cfg, pts, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_matches_jnp_stonehenge_arch():
+    """multires=15 -> 93+39=132 embedding dims: exercises >128-lane padding."""
+    cfg, params = _setup(multires=15, multires_views=6)
+    pts, dirs = _points(n_rays=2, n_samples=4)
+    got = fused_nerf_forward(params, cfg, pts, dirs)
+    want = apply_nerf(params, cfg, pts, dirs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_large_batch_padding():
+    """Non-tile-multiple point counts are padded and un-padded correctly."""
+    cfg, params = _setup(D=2, W=128, multires=4, multires_views=2, skips=(0,))
+    rng = np.random.default_rng(1)
+    pts = jnp.asarray(rng.standard_normal((7, 13, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((7, 3)).astype(np.float32))
+    got = fused_nerf_forward(params, cfg, pts, dirs)
+    want = apply_nerf(params, cfg, pts, dirs)
+    assert got.shape == (7, 13, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bf16_close_to_fp32():
+    cfg, params = _setup(D=2, W=128, multires=4, multires_views=2, skips=(0,))
+    pts, dirs = _points()
+    got = fused_nerf_forward(params, cfg, pts, dirs, compute_dtype=jnp.bfloat16)
+    want = apply_nerf(params, cfg, pts, dirs)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.1, atol=0.1)
+
+
+def test_fused_gradient_matches_jnp():
+    """custom_vjp backward (jnp rematerialization) must equal jnp grads."""
+    cfg, params = _setup(D=2, W=64, multires=4, multires_views=2, skips=(0,))
+    pts, dirs = _points(n_rays=2, n_samples=3)
+
+    def loss_fused(p, pt, vd):
+        return jnp.sum(fused_nerf_forward(p, cfg, pt, vd) ** 2)
+
+    def loss_jnp(p, pt, vd):
+        return jnp.sum(apply_nerf(p, cfg, pt, vd) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(params, pts, dirs)
+    g2 = jax.grad(loss_jnp, argnums=(0, 1, 2))(params, pts, dirs)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_pack_params_layout():
+    cfg, params = _setup()
+    blocks = pack_params(params, cfg)
+    assert blocks["F"].shape == (8, 128)       # 63+27=90 -> 128 lanes
+    assert blocks["W0"].shape == (128, 256)
+    assert blocks["Wmid"].shape == (7, 256, 256)
+    assert blocks["Wskip"].shape == (1, 128, 256)
+    assert blocks["Wout_h"].shape == (256, 128)
+    assert blocks["Wout_v"].shape == (128, 128)
+    # encoder: identity cols pass through, sin cols scaled by 2^k
+    F = np.asarray(blocks["F"], np.float32)
+    assert F[0, 0] == 1.0 and F[1, 1] == 1.0
+    np.testing.assert_allclose(sorted(set(F[0][F[0] > 1.0])),
+                               [2.0 ** k for k in range(1, 10)])
+
+
+def test_renderer_pallas_path_matches_jnp():
+    """RenderConfig(use_pallas=True) must reproduce the jnp render."""
+    from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
+
+    cfg, params = _setup(D=2, W=64, multires=4, multires_views=2, skips=(0,))
+    rng = np.random.default_rng(0)
+    n = 16
+    rays_o = rng.standard_normal((n, 3)).astype(np.float32) * 0.1
+    rays_d = rng.standard_normal((n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    rb = jnp.asarray(np.concatenate(
+        [rays_o, rays_d, np.full((n, 1), 2, np.float32),
+         np.full((n, 1), 6, np.float32), rays_d], -1))
+
+    base = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=0.0, white_bkgd=False)
+    import dataclasses
+
+    fast = dataclasses.replace(base, use_pallas=True)
+    key = jax.random.PRNGKey(0)
+    r1 = render_rays(params, None, rb, key, base, cfg, None)
+    r2 = render_rays(params, None, rb, key, fast, cfg, None)
+    np.testing.assert_allclose(np.asarray(r1["rgb_map"]),
+                               np.asarray(r2["rgb_map"]),
+                               rtol=1e-3, atol=1e-3)
