@@ -110,9 +110,14 @@ class PoseOptConfig:
                    cx=float(K[0, 2]), cy=float(K[1, 2]), **kw)
 
 
-def init_pose_params(key: jax.Array) -> Dict[str, jnp.ndarray]:
-    """Near-zero screw parameters (reference camera_transf init,
-    demo_est_rel_pose.py:206-208)."""
+def init_pose_params(key: jax.Array, mode: str = "screw") -> Dict[str, jnp.ndarray]:
+    """Near-zero pose parameters.
+
+    mode='screw': (w, v, theta) as the reference camera_transf
+    (demo_est_rel_pose.py:206-208). mode='se3': a 6-vector twist — the
+    lietorch-retraction workflow of demo_with_lietorch.py:56-60."""
+    if mode == "se3":
+        return {"twist": jax.random.normal(key, (6,)) * 1e-6}
     kw, kv, kt = jax.random.split(key, 3)
     return {
         "w": jax.random.normal(kw, (3,)) * 1e-6,
@@ -122,8 +127,15 @@ def init_pose_params(key: jax.Array) -> Dict[str, jnp.ndarray]:
 
 
 def apply_pose(pose_params: Dict, start_pose: jnp.ndarray) -> jnp.ndarray:
-    """Current pose estimate: exp(screw) @ start_pose [4,4]."""
-    T = screw_transform(pose_params["w"], pose_params["v"], pose_params["theta"])
+    """Current pose estimate: exp(params) @ start_pose [4,4]."""
+    if "twist" in pose_params:
+        from nerf_shared_tpu.ops.se3 import exp_se3
+
+        T = exp_se3(pose_params["twist"])
+    else:
+        T = screw_transform(
+            pose_params["w"], pose_params["v"], pose_params["theta"]
+        )
     return T @ start_pose
 
 
@@ -235,9 +247,12 @@ def estimate_relative_pose(
     kernel_size: int = 5,
     key: Optional[jax.Array] = None,
     print_every: int = 20,
+    parameterization: str = "screw",
 ):
     """Optimize the camera pose of ``sensor_image`` against a frozen NeRF.
 
+    ``parameterization``: 'screw' (reference camera_transf) or 'se3'
+    (twist-vector exp map, the lietorch-equivalent workflow).
     Returns (pose [4,4], history list of dicts)."""
     H, W = sensor_image_u8.shape[:2]
     if pcfg is None:
@@ -255,7 +270,7 @@ def estimate_relative_pose(
     rcfg_frozen = dataclasses.replace(rcfg, raw_noise_std=0.0)
     tx, step = make_pose_opt_step(rcfg_frozen, ccfg, fcfg, pcfg)
     k_init, key = jax.random.split(key)
-    pose_params = init_pose_params(k_init)
+    pose_params = init_pose_params(k_init, parameterization)
     opt_state = tx.init(pose_params)
 
     history = []

@@ -57,6 +57,10 @@ def run(args) -> None:
 
 
 def train(args):
+    if getattr(args, "debug_nans", False):
+        from nerf_shared_tpu.utils.debug import enable_nan_checks
+
+        enable_nan_checks(True)
     ds = load_datasets(args)
     H, W, focal = ds.hwf
     copy_log_dir(args)
@@ -151,6 +155,22 @@ def train(args):
                 save_directory=testsavedir, tb_writer=tb_writer,
             )
             print(f"Saved test set renders to {testsavedir}")
+
+        # spiral/render-path video — the hook the reference intended but
+        # left commented on a broken render_path (main.py:120-124)
+        if args.i_video > 0 and last % args.i_video == 0 and last > 0:
+            coarse, fine = _models_from_state(state, ccfg, fcfg)
+            videodir = os.path.join(
+                args.basedir, args.expname, f"video_{last:06d}"
+            )
+            rposes = ds.render_poses
+            rposes = rposes[:, :3, :4] if rposes.ndim == 3 else rposes
+            renderer.render_from_batch_poses(
+                H, W, ds.K, args.chunk, rposes, coarse, fine,
+                retraw=False, save_directory=videodir,
+                b_combine_as_video=True,
+            )
+            print(f"Saved render-path video to {videodir}")
 
     # final checkpoint
     ckpt_utils.save_checkpoints(

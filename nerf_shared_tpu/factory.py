@@ -78,6 +78,15 @@ def get_renderer(args, bds_dict) -> Renderer:
     )
 
 
+def get_optimizer(args):
+    """The optax transformation used for training — one Adam over the
+    concatenated coarse+fine params with the exponential LR schedule
+    (reference utils.py:163-172 surface)."""
+    from nerf_shared_tpu.train.state import make_optimizer
+
+    return make_optimizer(args.lrate, args.lrate_decay)
+
+
 def get_train_state(args, key=None) -> TrainState:
     """TrainState with one Adam over coarse(+fine) params
     (reference utils.py:163-172 + main.py:107-112 LR decay)."""

@@ -165,6 +165,13 @@ def get_density(params: Params, cfg: NeRFConfig, points: jnp.ndarray) -> jnp.nda
     return out[..., -1]
 
 
+def get_embedder(multires: int, i: int = 0):
+    """(embed_fn, out_dim) — the reference factory surface
+    (reference nerf.py:43-58). i=-1 selects the identity embedding."""
+    cfg = EmbedderConfig(multires=multires, i_embed=i)
+    return (lambda x, _cfg=cfg: embed(x, _cfg)), cfg.out_dim
+
+
 class NeRF:
     """Thin OO wrapper holding (cfg, params), mirroring the reference class
     surface (reference nerf.py:61) for users migrating from torch."""

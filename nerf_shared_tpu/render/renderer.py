@@ -342,6 +342,14 @@ class Renderer:
             packed = jnp.concatenate([packed, viewdirs], axis=-1)
         return packed, sh
 
+    def render_batch(self, coarse_model, fine_model, rays_flat,
+                     chunk: int = 1024 * 32, retraw: bool = False, key=None):
+        """Reference-API alias (render_utils.py:51-65) for render_flat_rays."""
+        return self.render_flat_rays(
+            rays_flat, coarse_model, fine_model, chunk=chunk, retraw=retraw,
+            key=key,
+        )
+
     def render_flat_rays(
         self,
         rays_flat: jnp.ndarray,    # [N, 8|11]
