@@ -241,13 +241,17 @@ def _make_kernel(cfg: NeRFConfig, acc_dtype):
                 jnp.dot(h, Wout_h_ref[:], preferred_element_type=acc_dtype)
                 + bout_ref[:]
             )
-        out_ref[:] = out.astype(out_ref.dtype)
+        # store only the used channels: the full 128-lane tile to HBM would
+        # be a 32x write amplification (6+ GB per 800p render block)
+        out_ref[:] = out[:, : out_ref.shape[-1]].astype(out_ref.dtype)
 
     return kernel
 
 
 def _fused_forward_impl(params, cfg: NeRFConfig, x_pad, compute_dtype, tile):
-    """x_pad: [Npad, 8] float32. Returns [Npad, 128] raw tile (cols 0..3 used)."""
+    """x_pad: [Npad, 8] float32. Returns [Npad, out_ch] raw outputs."""
+    out_ch = 4 if cfg.use_viewdirs else cfg.output_ch
+    out_ch = _round_up(out_ch, 8)  # sublane-friendly narrow store
     blocks = pack_params(params, cfg, compute_dtype)
     n = x_pad.shape[0]
     grid = (n // tile,)
@@ -282,11 +286,11 @@ def _fused_forward_impl(params, cfg: NeRFConfig, x_pad, compute_dtype, tile):
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
         _make_kernel(cfg, jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((n, LANE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, out_ch), jnp.float32),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (tile, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile, out_ch), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(flops_per_pt) * n, bytes_accessed=n * (8 + LANE) * 4,

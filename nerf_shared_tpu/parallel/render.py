@@ -1,0 +1,85 @@
+"""Multi-chip full-image rendering: shard the H·W rays over the 'data' mesh.
+
+Rays are embarrassingly parallel, so an image render scales linearly across
+chips: each device renders its slice of the flat ray batch and XLA
+all-gathers the pixels (the eval-image collective of SURVEY.md §2.2/§5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
+
+
+def make_sharded_render(
+    mesh,
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    block: int = 16384,
+):
+    """Build render_fn(params_coarse, params_fine, rays_flat, key) -> dict.
+
+    ``rays_flat`` [N, 8|11] must have N divisible by mesh's data axis; use
+    ``pad_rays`` below. Each device lax.maps over its local blocks, so
+    arbitrarily large images render with bounded per-device memory.
+    """
+
+    n_data = mesh.shape["data"]
+
+    def per_device(params_coarse, params_fine, rays_local, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        n = rays_local.shape[0]
+        blk = min(block, n)
+        n_blocks = -(-n // blk)
+        pad = n_blocks * blk - n
+        if pad:
+            rays_local = jnp.concatenate(
+                [rays_local, jnp.broadcast_to(rays_local[-1:], (pad, rays_local.shape[1]))]
+            )
+        blocks = rays_local.reshape(n_blocks, blk, rays_local.shape[-1])
+        keys = jax.random.split(key, n_blocks)
+
+        def one(args):
+            rb, k = args
+            return render_rays(
+                params_coarse, params_fine, rb, k, rcfg, ccfg, fcfg
+            )
+
+        out = jax.lax.map(one, (blocks, keys))
+        return {
+            k: v.reshape((n_blocks * blk,) + v.shape[2:])[:n]
+            for k, v in out.items()
+        }
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    jitted = jax.jit(fn)
+
+    def render_fn(params_coarse, params_fine, rays_flat, key) -> Dict:
+        n = rays_flat.shape[0]
+        padded = -(-n // n_data) * n_data
+        if padded != n:
+            rays_flat = jnp.concatenate(
+                [
+                    rays_flat,
+                    jnp.broadcast_to(
+                        rays_flat[-1:], (padded - n, rays_flat.shape[1])
+                    ),
+                ]
+            )
+        out = jitted(params_coarse, params_fine, rays_flat, key)
+        return {k: v[:n] for k, v in out.items()}
+
+    return render_fn

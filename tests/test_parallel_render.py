@@ -1,0 +1,49 @@
+"""Sharded full-image render on the 8-device virtual mesh must match the
+single-device render."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRF, NeRFConfig
+from nerf_shared_tpu.parallel.mesh import make_mesh
+from nerf_shared_tpu.parallel.render import make_sharded_render
+from nerf_shared_tpu.render.renderer import RenderConfig, Renderer, render_rays
+
+
+def test_sharded_render_matches_single_device():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+    ccfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    coarse = NeRF.create(jax.random.PRNGKey(0), ccfg)
+    fine = NeRF.create(jax.random.PRNGKey(1), ccfg)
+    rcfg = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=0.0, white_bkgd=True)
+
+    rng = np.random.default_rng(0)
+    n = 100  # deliberately not divisible by 8
+    rays_o = rng.standard_normal((n, 3)).astype(np.float32) * 0.1
+    rays_d = rng.standard_normal((n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    rb = jnp.asarray(np.concatenate(
+        [rays_o, rays_d, np.full((n, 1), 2, np.float32),
+         np.full((n, 1), 6, np.float32), rays_d], -1))
+
+    key = jax.random.PRNGKey(0)
+    single = render_rays(coarse.params, fine.params, rb, key, rcfg,
+                         ccfg, ccfg)
+
+    render_fn = make_sharded_render(mesh, rcfg, ccfg, ccfg, block=32)
+    sharded = render_fn(coarse.params, fine.params, rb, key)
+
+    assert sharded["rgb_map"].shape == (n, 3)
+    # perturb=0 -> deterministic: must match exactly up to fp reduction order
+    np.testing.assert_allclose(
+        np.asarray(sharded["rgb_map"]), np.asarray(single["rgb_map"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded["acc_map"]), np.asarray(single["acc_map"]),
+        rtol=1e-4, atol=1e-5,
+    )
