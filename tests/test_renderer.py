@@ -186,3 +186,37 @@ def test_render_gradient_wrt_pose():
     g = jax.grad(loss)(jnp.asarray(np.eye(3, 4, dtype=np.float32)))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_c2w_staticcam_decouples_viewdirs():
+    """c2w_staticcam renders geometry from one camera while viewdirs come
+    from another (reference render_utils.py:208-212)."""
+    coarse, fine = tiny_models()
+    H = W = 6
+    K = np.array([[8.0, 0, 3.0], [0, 8.0, 3.0], [0, 0, 1]])
+    r = Renderer(N_samples=4, N_importance=0, near=2.0, far=6.0, perturb=0.0)
+    c2w_a = jnp.asarray(np.eye(3, 4, dtype=np.float32))
+    c2w_b = np.eye(3, 4, dtype=np.float32)
+    c2w_b[0, 3] = 0.5
+    c2w_b = jnp.asarray(c2w_b)
+    plain = r.render(H, W, K, coarse, fine, chunk=64, c2w=c2w_a)
+    static = r.render(H, W, K, coarse, fine, chunk=64, c2w=c2w_a,
+                      c2w_staticcam=c2w_b)
+    # rays move to camera b, so the render must differ from camera a's
+    assert not np.allclose(np.asarray(plain[0]), np.asarray(static[0]))
+
+
+def test_render_from_batch_poses_writes_pngs(tmp_path):
+    coarse, fine = tiny_models()
+    H = W = 6
+    K = np.array([[8.0, 0, 3.0], [0, 8.0, 3.0], [0, 0, 1]])
+    r = Renderer(N_samples=4, N_importance=0, near=2.0, far=6.0)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+    rgbs = r.render_from_batch_poses(
+        H, W, K, 64, poses, coarse, fine, retraw=False,
+        save_directory=str(tmp_path), b_combine_as_video=True,
+    )
+    assert rgbs.shape == (3, H, W, 3)
+    import glob
+    assert len(glob.glob(str(tmp_path / "*.png"))) == 3
+    assert glob.glob(str(tmp_path / "video.*"))
