@@ -207,6 +207,10 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--N_iters", type=int, default=200000,
                         help='number of training iterations (reference '
                              'main.py:60 hardcodes 200000)')
+    parser.add_argument("--remat", type=_str2bool, default=False,
+                        help='rematerialize MLP activations in backward '
+                             '(jax.checkpoint) to train much larger ray '
+                             'batches per chip')
     parser.add_argument("--debug_nans", type=_str2bool, default=False,
                         help='enable jax_debug_nans: re-run NaN-producing '
                              'ops un-jitted and raise at the source '

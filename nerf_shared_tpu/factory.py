@@ -74,6 +74,7 @@ def get_renderer(args, bds_dict) -> Renderer:
         lindisp=args.lindisp,
         precision=getattr(args, "precision", "fp32"),
         use_pallas=use_pallas,
+        remat=bool(getattr(args, "remat", False)),
         **bds_dict,
     )
 

@@ -48,6 +48,16 @@ def _apply_model(params, mcfg, pts, viewdirs, rcfg):
         return fused_nerf_forward(
             params, mcfg, pts, viewdirs, compute_dtype=dtype
         )
+    if rcfg.remat:
+        if viewdirs is None:
+            fn = jax.checkpoint(
+                lambda p, x: apply_nerf(p, mcfg, x, None, compute_dtype=dtype)
+            )
+            return fn(params, pts)
+        fn = jax.checkpoint(
+            lambda p, x, d: apply_nerf(p, mcfg, x, d, compute_dtype=dtype)
+        )
+        return fn(params, pts, viewdirs)
     return apply_nerf(params, mcfg, pts, viewdirs, compute_dtype=dtype)
 
 
@@ -72,6 +82,10 @@ class RenderConfig:
     # evaluate the MLP with the fused Pallas kernel (TPU only; forward pass —
     # autodiff falls back to the jnp twin via custom_vjp recompute)
     use_pallas: bool = False
+    # rematerialize MLP activations in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for O(depth) less activation HBM, unlocking
+    # much larger ray batches per chip
+    remat: bool = False
 
 
 def render_rays(
@@ -229,6 +243,7 @@ class Renderer:
         far: float = 1.0,
         precision: str = "fp32",
         use_pallas: bool = False,
+        remat: bool = False,
     ):
         self.cfg = RenderConfig(
             perturb=float(perturb),
@@ -243,6 +258,7 @@ class Renderer:
             far=float(far),
             precision=str(precision),
             use_pallas=bool(use_pallas),
+            remat=bool(remat),
         )
         self._training = True
 

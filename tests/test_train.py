@@ -204,3 +204,26 @@ def test_fused_step_sharded_and_scanned():
     state, aux = step(state, images, poses, jax.random.PRNGKey(0))
     assert int(state.step) == 4
     assert np.isfinite(float(aux["loss"]))
+
+
+def test_remat_grads_match_non_remat():
+    """jax.checkpoint rematerialization must not change gradients."""
+    import dataclasses
+
+    from nerf_shared_tpu.train.step import nerf_loss, pack_ray_batch
+
+    state, rcfg, ccfg, fcfg = _tiny_setup()
+    rcfg_det = dataclasses.replace(rcfg, perturb=0.0)
+    rcfg_remat = dataclasses.replace(rcfg_det, remat=True)
+    batch_rays, target = _toy_batch(n=16)
+    rb = pack_ray_batch(batch_rays[0], batch_rays[1], rcfg_det, 8, 8, 5.0)
+    key = jax.random.PRNGKey(0)
+
+    def loss(params, cfg):
+        return nerf_loss(params, rb, target, key, cfg, ccfg, fcfg)[0]
+
+    g1 = jax.grad(lambda p: loss(p, rcfg_det))(state.params)
+    g2 = jax.grad(lambda p: loss(p, rcfg_remat))(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
