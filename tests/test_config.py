@@ -1,8 +1,6 @@
 """Config parser tests: reference flag surface + config-file semantics
 (reference config_parser.py:2-116)."""
 
-import numpy as np
-
 from nerf_shared_tpu.config import config_parser
 
 

@@ -8,7 +8,7 @@ import numpy as np
 from nerf_shared_tpu.models.nerf import NeRF, NeRFConfig
 from nerf_shared_tpu.parallel.mesh import make_mesh
 from nerf_shared_tpu.parallel.render import make_sharded_render
-from nerf_shared_tpu.render.renderer import RenderConfig, Renderer, render_rays
+from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
 
 
 def test_sharded_render_matches_single_device():
