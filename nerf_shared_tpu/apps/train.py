@@ -156,6 +156,29 @@ def train(args):
             )
             print(f"Saved test set renders to {testsavedir}")
 
+        # validation-image hook: render one held-out view, log PSNR (+image
+        # to TB). The reference parses --i_img but its implementation is a
+        # commented-out TF1 block (utils.py:506-532); this is the working
+        # equivalent.
+        if args.i_img > 0 and last % args.i_img == 0 and last > 0 and len(ds.i_val):
+            coarse, fine = _models_from_state(state, ccfg, fcfg)
+            val_i = int(ds.i_val[(last // args.i_img) % len(ds.i_val)])
+            rgb, _, _, _ = renderer.render_from_pose(
+                H, W, ds.K, args.chunk,
+                jnp.asarray(ds.poses[val_i][:3, :4]), coarse, fine,
+                retraw=False,
+            )
+            val_mse = float(np.mean((np.asarray(rgb) - ds.images[val_i]) ** 2))
+            val_psnr = -10.0 * np.log10(val_mse) if val_mse > 0 else np.inf
+            print(f"[VAL] Iter: {last} view {val_i} PSNR: {val_psnr:.3f}")
+            if tb_writer is not None:
+                tb_writer.add_scalar("Val/PSNR", val_psnr, last)
+                from nerf_shared_tpu.utils.metrics import to8b
+
+                tb_writer.add_image(
+                    "Val/rgb", to8b(np.asarray(rgb)), last, dataformats="HWC"
+                )
+
         # spiral/render-path video — the hook the reference intended but
         # left commented on a broken render_path (main.py:120-124)
         if args.i_video > 0 and last % args.i_video == 0 and last > 0:

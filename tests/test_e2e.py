@@ -154,3 +154,26 @@ def test_e2e_overfit_psnr_rises(tmp_path):
     late = np.mean(psnrs[-10:])
     assert late > early + 5.0, (early, late)
     assert late > 20.0, late
+
+
+def test_i_img_validation_hook(tmp_path, capsys):
+    """--i_img renders a held-out view and logs its PSNR (working version of
+    the reference's commented-out hook, utils.py:506-532)."""
+    import os
+
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(root, datadir, os.path.join(root, "logs"),
+                             i_img=8, N_iters=16, i_weights=16)
+    args = config_parser().parse_args(["--config", cfg_path])
+    train_mod_run(args)
+    out = capsys.readouterr().out
+    assert "[VAL]" in out and "PSNR" in out
+
+
+def train_mod_run(args):
+    from nerf_shared_tpu.apps.train import run
+
+    return run(args)
