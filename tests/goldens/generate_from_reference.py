@@ -154,5 +154,63 @@ def main():
     print(f"wrote {OUT} with {len(out)} arrays")
 
 
+
+
+def generate_llff_pose_goldens():
+    """Golden outputs of the reference's LLFF pose math (load_llff.py:125-316
+    helpers) on synthetic pose sets — the 'fiddly numerics that silently
+    change the scene scale' (SURVEY.md §7 hard parts)."""
+    if not os.path.isdir(REFERENCE):
+        return
+    sys.path.insert(0, REFERENCE)
+    from nerf_shared import load_llff as ref_llff
+
+    rng = np.random.default_rng(123)
+    out = {}
+
+    # ring of inward-looking cameras with an hwf column (poses [N,3,5])
+    n = 10
+    poses = []
+    for i in range(n):
+        th = 2 * np.pi * i / n
+        pos = np.array([3 * np.cos(th), 3 * np.sin(th), 0.4 + 0.1 * np.sin(3 * th)])
+        z = pos / np.linalg.norm(pos)
+        m = ref_llff.viewmatrix(z, np.array([0.0, 0.0, 1.0]), pos)
+        hwf = np.array([[32.0], [32.0], [40.0]])
+        poses.append(np.concatenate([m, hwf], 1))
+    poses = np.stack(poses).astype(np.float32)
+    poses[:, :3, 3] += rng.standard_normal((n, 3)).astype(np.float32) * 0.05
+    bds = np.stack([np.full(n, 1.5), np.full(n, 7.0)], -1).astype(np.float32)
+    out["llff_poses"] = poses
+    out["llff_bds"] = bds
+
+    out["llff_avg"] = ref_llff.poses_avg(poses)
+    out["llff_recentered"] = ref_llff.recenter_poses(poses)
+
+    sph_poses, sph_render, sph_bds = ref_llff.spherify_poses(
+        poses.copy(), bds.copy()
+    )
+    out["llff_spherify_poses"] = sph_poses
+    out["llff_spherify_render"] = np.asarray(sph_render)
+    out["llff_spherify_bds"] = sph_bds
+
+    c2w = ref_llff.poses_avg(poses)
+    up = ref_llff.normalize(poses[:, :3, 1].sum(0))
+    rads = np.percentile(np.abs(poses[:, :3, 3]), 90, 0)
+    spiral = ref_llff.render_path_spiral(
+        c2w, up, rads, focal=4.2, zdelta=0.3, zrate=0.5, rots=2, N=24
+    )
+    out["llff_spiral"] = np.asarray(spiral)
+
+    existing = {}
+    if os.path.exists(OUT):
+        with np.load(OUT) as z:
+            existing = {k: z[k] for k in z.files}
+    existing.update(out)
+    np.savez_compressed(OUT, **existing)
+    print(f"updated {OUT} with LLFF pose goldens (now {len(existing)} arrays)")
+
+
 if __name__ == "__main__":
     main()
+    generate_llff_pose_goldens()

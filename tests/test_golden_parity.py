@@ -160,3 +160,39 @@ def test_full_render_rays_matches_reference(g):
         np.testing.assert_allclose(
             got[finite], want[finite], rtol=5e-4, atol=5e-4, err_msg=k
         )
+
+
+def test_llff_pose_math_matches_reference(g):
+    """The LLFF recenter/spherify/spiral numerics vs the reference's own
+    outputs (load_llff.py:125-316) — the 'silently change the scene scale'
+    hard part of SURVEY.md §7."""
+    from nerf_shared_tpu.data.poses import (
+        average_pose,
+        normalize,
+        recenter_poses,
+        spherify_poses,
+        spiral_path,
+    )
+
+    poses = g["llff_poses"]
+    bds = g["llff_bds"]
+
+    np.testing.assert_allclose(average_pose(poses), g["llff_avg"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(recenter_poses(poses), g["llff_recentered"],
+                               rtol=1e-4, atol=1e-5)
+
+    sph_poses, sph_render, sph_bds = spherify_poses(poses.copy(), bds.copy())
+    np.testing.assert_allclose(sph_poses, g["llff_spherify_poses"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sph_render, g["llff_spherify_render"],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sph_bds, g["llff_spherify_bds"], rtol=1e-5)
+
+    c2w = average_pose(poses)
+    up = normalize(poses[:, :3, 1].sum(0))
+    rads = np.percentile(np.abs(poses[:, :3, 3]), 90, 0)
+    spiral = np.asarray(
+        spiral_path(c2w, up, rads, focal=4.2, zrate=0.5, rots=2, N=24)
+    )
+    np.testing.assert_allclose(spiral, g["llff_spiral"], rtol=1e-4, atol=1e-5)
