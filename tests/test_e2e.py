@@ -177,3 +177,27 @@ def train_mod_run(args):
     from nerf_shared_tpu.apps.train import run
 
     return run(args)
+
+
+def test_render_factor_downsamples(tmp_path):
+    """--render_factor renders at reduced resolution (reference
+    config_parser.py:65-66 semantics)."""
+    import glob
+
+    import imageio.v2 as imageio
+
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(root, datadir, logdir, N_iters=8, i_print=8,
+                             i_weights=8)
+    run(config_parser().parse_args(["--config", cfg_path]))
+    outdir = render_only(config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--render_factor", "2", "--chunk", "128"]
+    ))
+    png = sorted(glob.glob(os.path.join(outdir, "*.png")))[0]
+    img = imageio.imread(png)
+    assert img.shape[:2] == (8, 8)  # 16/2
