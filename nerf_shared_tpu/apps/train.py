@@ -102,7 +102,8 @@ def train(args):
 
     rcfg = _dc.replace(renderer.cfg, use_pallas=False)
     step_fn = make_fused_train_step(
-        rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner
+        rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
+        acc_reg=getattr(args, "acc_loss_weight", 0.0),
     )
     if mesh is not None:
         state = replicate(mesh, state)
@@ -228,6 +229,7 @@ def render_only(args):
     rgbs = renderer.render_from_batch_poses(
         H, W, K, args.chunk, poses, coarse, fine,
         retraw=False, save_directory=outdir, b_combine_as_video=True,
+        gate_threshold=getattr(args, "render_gate", 0.0),
     )
     print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
     return outdir

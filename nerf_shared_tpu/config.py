@@ -207,6 +207,15 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--N_iters", type=int, default=200000,
                         help='number of training iterations (reference '
                              'main.py:60 hardcodes 200000)')
+    parser.add_argument("--acc_loss_weight", type=float, default=0.0,
+                        help='density-sparsity (Cauchy) regularizer weight: '
+                             'trains empty space toward true transparency, '
+                             'enabling --render_gate acceleration')
+    parser.add_argument("--render_gate", type=float, default=0.0,
+                        help='fast rendering: skip the fine pass for rays '
+                             'whose coarse opacity is below this threshold '
+                             '(0 = off/exact; 1e-3 is a good value for '
+                             'object scenes)')
     parser.add_argument("--remat", type=_str2bool, default=False,
                         help='rematerialize MLP activations in backward '
                              '(jax.checkpoint) to train much larger ray '

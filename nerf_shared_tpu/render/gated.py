@@ -1,0 +1,217 @@
+"""Coarse-gated fast rendering: skip the fine pass for empty rays.
+
+For full-image rendering of object-centric scenes most rays never hit
+anything: their coarse accumulated opacity is ~0 and their fine pass is 128
+MLP evaluations of empty space. This renderer splits render_rays into two
+jitted stages around a tiny host-side compaction:
+
+  1. coarse stage over ALL rays (unchanged math);
+  2. rays with coarse acc >= ``threshold`` are compacted (host-side gather,
+     dynamic length padded to a block multiple — outside jit, so static
+     shapes inside), fine-resampled and rendered, then scattered back;
+  3. skipped rays keep their coarse result (which for acc < threshold is
+     the background color to within the threshold).
+
+This is an OPT-IN approximation (exact for threshold=0): the skipped rays'
+fine pass would have re-queried the network on near-uniform samples, so the
+error is bounded by the threshold. Typical object scenes skip 50-80% of
+rays, which at 2/3 fine-pass share is a ~2-3x frame-rate win.
+
+No reference counterpart (the reference renders every ray densely); this is
+TPU-native new capability informed by the sample-efficiency literature
+(PAPERS.md: NerfAcc, RT-NeRF).
+
+Effectiveness caveat (measured): the win only materializes when the trained
+model actually learned transparency in empty space. Models trained briefly
+on white-background scenes may explain the background with white DENSITY
+(acc≈1 everywhere), in which case every ray stays active and the two-stage
+dispatch is pure overhead (~1.7x slower than dense at active_fraction=1).
+Long-trained blender models do learn emptiness; use --render_gate 1e-3 for
+those, 0 (off, the default) otherwise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.ops.sampling import sample_along_rays, sample_pdf
+from nerf_shared_tpu.render.renderer import (
+    RenderConfig,
+    _apply_model,
+    _composite,
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rcfg", "ccfg", "block")
+)
+def coarse_stage(
+    params_coarse,
+    rays: jnp.ndarray,       # [n_blocks, block, C]
+    keys,                    # [n_blocks] keys
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    block: int,
+):
+    """Coarse sampling + MLP + composite for all rays; returns per-ray
+    coarse maps plus the weights/z_vals the fine stage needs."""
+
+    def one(args):
+        rb, key = args
+        rays_o, rays_d = rb[:, 0:3], rb[:, 3:6]
+        viewdirs = rb[:, -3:] if rb.shape[-1] > 8 else None
+        near, far = rb[:, 6:7], rb[:, 7:8]
+        k_strat, k_noise = jax.random.split(key)
+        z_vals = sample_along_rays(
+            k_strat, near, far, rcfg.N_samples,
+            lindisp=rcfg.lindisp, perturb=rcfg.perturb,
+        )
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+        raw = _apply_model(params_coarse, ccfg, pts, viewdirs, rcfg)
+        rgb, disp, acc, weights, _ = _composite(
+            raw, z_vals, rays_d, rcfg, k_noise, None
+        )
+        return {
+            "rgb0": rgb, "disp0": disp, "acc0": acc,
+            "weights": weights, "z_vals": z_vals,
+        }
+
+    out = jax.lax.map(one, (rays, keys))
+    return {
+        k: v.reshape((-1,) + v.shape[2:]) for k, v in out.items()
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rcfg", "fcfg", "block")
+)
+def fine_stage(
+    params_fine,
+    rays: jnp.ndarray,       # [n_blocks, block, C] (compacted)
+    weights: jnp.ndarray,    # [n_blocks, block, N_samples]
+    z_vals: jnp.ndarray,     # [n_blocks, block, N_samples]
+    keys,
+    rcfg: RenderConfig,
+    fcfg: NeRFConfig,
+    block: int,
+):
+    """Hierarchical resample + fine MLP + composite on the active subset."""
+
+    def one(args):
+        rb, w, z, key = args
+        rays_o, rays_d = rb[:, 0:3], rb[:, 3:6]
+        viewdirs = rb[:, -3:] if rb.shape[-1] > 8 else None
+        k_u, k_noise = jax.random.split(key)
+        z_mid = 0.5 * (z[..., 1:] + z[..., :-1])
+        z_samples = sample_pdf(
+            z_mid, w[..., 1:-1], rcfg.N_importance,
+            key=k_u, det=(rcfg.perturb == 0.0),
+        )
+        z_samples = jax.lax.stop_gradient(z_samples)
+        z_all = jnp.sort(jnp.concatenate([z, z_samples], -1), -1)
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_all[..., :, None]
+        raw = _apply_model(params_fine, fcfg, pts, viewdirs, rcfg)
+        rgb, disp, acc, _, _ = _composite(
+            raw, z_all, rays_d, rcfg, k_noise, None
+        )
+        return {"rgb_map": rgb, "disp_map": disp, "acc_map": acc,
+                "z_std": jnp.std(z_samples, axis=-1)}
+
+    out = jax.lax.map(one, (rays, weights, z_vals, keys))
+    return {k: v.reshape((-1,) + v.shape[2:]) for k, v in out.items()}
+
+
+def _blockify(x, block):
+    n = x.shape[0]
+    n_blocks = max(1, -(-n // block))
+    pad = n_blocks * block - n
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
+        )
+    return x.reshape((n_blocks, block) + x.shape[1:]), n
+
+
+def render_flat_rays_gated(
+    rays_flat: jnp.ndarray,
+    coarse_model,
+    fine_model,
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    chunk: int = 1024 * 32,
+    key: Optional[jax.Array] = None,
+    threshold: float = 1e-3,
+) -> Dict[str, jnp.ndarray]:
+    """Gated full-batch render; same return keys as render_rays (with
+    retraw/retweights unsupported). threshold=0 renders every ray finely."""
+    from nerf_shared_tpu.render.renderer import _model_parts
+
+    pc, _ = _model_parts(coarse_model)
+    pf, fcfg_m = _model_parts(fine_model)
+    fcfg = fcfg if fcfg is not None else (fcfg_m if fcfg_m is not None else ccfg)
+    pf = pc if pf is None else pf
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    k_coarse, k_fine = jax.random.split(key)
+
+    n = rays_flat.shape[0]
+    block = min(chunk, n)
+    rays_b, _ = _blockify(rays_flat, block)
+    ck = jax.random.split(k_coarse, rays_b.shape[0])
+    cres = coarse_stage(pc, rays_b, ck, rcfg, ccfg, block)
+    cres = {k: v[:n] for k, v in cres.items()}
+
+    if rcfg.N_importance <= 0:
+        return {
+            "rgb_map": cres["rgb0"], "disp_map": cres["disp0"],
+            "acc_map": cres["acc0"],
+        }
+
+    # ---- device-side compaction; the host fetches ONE scalar (the active
+    # count, which must be concrete to pick the fine stage's static shape).
+    # Everything else — the ordering, gathers, and scatters — stays on
+    # device, which matters doubly over a remote-device tunnel. ----
+    mask = cres["acc0"] >= threshold
+    order = jnp.argsort(~mask)          # active rays first, stable
+    n_active = int(jnp.sum(mask))
+
+    out = {
+        "rgb_map": cres["rgb0"],
+        "disp_map": cres["disp0"],
+        "acc_map": cres["acc0"],
+        "rgb0": cres["rgb0"],
+        "disp0": cres["disp0"],
+        "acc0": cres["acc0"],
+        "z_std": jnp.zeros_like(cres["acc0"]),
+        "active_fraction": jnp.asarray(n_active / max(n, 1)),
+    }
+    if n_active == 0:
+        return out
+
+    # quantize the fine-stage block size to powers of two so varying active
+    # counts across poses reuse a handful of compiled shapes instead of
+    # recompiling per image
+    fine_block = min(chunk, 1 << max(0, (n_active - 1).bit_length()))
+    n_pad = -(-n_active // fine_block) * fine_block
+    idx = order[:n_pad] if n_pad <= n else jnp.concatenate(
+        [order, jnp.broadcast_to(order[-1:], (n_pad - n,))]
+    )
+    rays_a = rays_flat[idx].reshape(-1, fine_block, rays_flat.shape[-1])
+    w_a = cres["weights"][idx].reshape(-1, fine_block, rcfg.N_samples)
+    z_a = cres["z_vals"][idx].reshape(-1, fine_block, rcfg.N_samples)
+    fk = jax.random.split(k_fine, rays_a.shape[0])
+    fres = fine_stage(pf, rays_a, w_a, z_a, fk, rcfg, fcfg, fine_block)
+
+    scatter_idx = order[:n_active]
+    for src, dst in (("rgb_map", "rgb_map"), ("disp_map", "disp_map"),
+                     ("acc_map", "acc_map"), ("z_std", "z_std")):
+        out[dst] = out[dst].at[scatter_idx].set(fres[src][:n_active])
+    return out

@@ -115,9 +115,12 @@ def render_rays(
     fcfg: Optional[NeRFConfig],
     retraw: bool = False,
     retweights: bool = False,
+    retraw_coarse: bool = False,
     overrides: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a flat ray batch. Semantics of reference render_utils.py:67-174.
+    ``retraw_coarse`` additionally returns the coarse pass's raw outputs as
+    'raw0' (new; needed by the density-sparsity training regularizer).
 
     ``overrides`` optionally pins the three random draws (keys ``t_rand``,
     ``u``, ``noise_coarse``/``noise_fine``) — the deterministic seams the
@@ -151,6 +154,8 @@ def render_rays(
     )
 
     ret: Dict[str, jnp.ndarray] = {}
+    if retraw_coarse:
+        ret["raw0"] = raw
     if rcfg.N_importance > 0:
         rgb_map_0, disp_map_0, acc_map_0 = rgb_map, disp_map, acc_map
 
@@ -420,6 +425,28 @@ class Renderer:
             k: v.reshape((padded,) + v.shape[2:])[:n] for k, v in ret.items()
         }
 
+    def render_image_gated(
+        self, H, W, K, c2w, coarse_model, fine_model,
+        chunk: int = 1024 * 32, key: Optional[jax.Array] = None,
+        threshold: float = 1e-3,
+    ):
+        """Full-image render with coarse-gated fine-pass skipping
+        (render/gated.py): returns (rgb [H,W,3], extras dict)."""
+        from nerf_shared_tpu.render.gated import render_flat_rays_gated
+
+        pc, ccfg = _model_parts(coarse_model)
+        pf, fcfg = _model_parts(fine_model)
+        rays_flat, sh = self._pack_rays(H, W, K, None, c2w, None)
+        ret = render_flat_rays_gated(
+            rays_flat, (pc, ccfg),
+            (pf, fcfg) if pf is not None else None,
+            self.cfg, ccfg, fcfg, chunk=chunk, key=key, threshold=threshold,
+        )
+        out = {k: jnp.reshape(v, list(sh[:-1]) + list(v.shape[1:]))
+               for k, v in ret.items() if k != "active_fraction"}
+        out["active_fraction"] = ret["active_fraction"]
+        return out["rgb_map"], out
+
     def render_from_batch_poses(
         self,
         H,
@@ -434,6 +461,7 @@ class Renderer:
         b_combine_as_video: bool = False,
         tb_writer=None,
         key: Optional[jax.Array] = None,
+        gate_threshold: float = 0.0,
     ):
         """Render poses to PNGs (+ optional mp4 / TensorBoard), reference
         render_utils.py:293-319. Rendering is done in eval mode with
@@ -454,17 +482,24 @@ class Renderer:
             os.makedirs(save_directory, exist_ok=True)
         rgbs = []
         for i, c2w in enumerate(np.asarray(batch_c2w)):
-            rgb, _, _, _ = eval_renderer.render_from_pose(
-                H,
-                W,
-                K,
-                chunk=chunk,
-                c2w=jnp.asarray(c2w[:3, :4]),
-                coarse_model=coarse_model,
-                fine_model=fine_model,
-                retraw=retraw,
-                key=key,
-            )
+            if gate_threshold > 0.0:
+                rgb, _ = eval_renderer.render_image_gated(
+                    H, W, K, jnp.asarray(c2w[:3, :4]), coarse_model,
+                    fine_model, chunk=chunk, key=key,
+                    threshold=gate_threshold,
+                )
+            else:
+                rgb, _, _, _ = eval_renderer.render_from_pose(
+                    H,
+                    W,
+                    K,
+                    chunk=chunk,
+                    c2w=jnp.asarray(c2w[:3, :4]),
+                    coarse_model=coarse_model,
+                    fine_model=fine_model,
+                    retraw=retraw,
+                    key=key,
+                )
             rgbs.append(np.asarray(rgb))
             if save_directory is not None:
                 filename = os.path.join(save_directory, "{:03d}.png".format(i))

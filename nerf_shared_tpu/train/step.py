@@ -59,8 +59,18 @@ def nerf_loss(
     rcfg: RenderConfig,
     ccfg: NeRFConfig,
     fcfg: Optional[NeRFConfig],
+    acc_reg: float = 0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98)."""
+    """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98).
+
+    ``acc_reg`` > 0 adds a density-sparsity term acc_reg * mean(log(1+2σ²))
+    (the Cauchy prior of the original NeRF codebase) over the sampled raw
+    densities, training empty space toward true transparency instead of
+    background-colored fog. A mean(acc) penalty was tried first and does
+    NOT work: the 1e10 far-plane interval saturates alpha at 1 with
+    numerically zero gradient. Transparency is what makes the gated fast
+    renderer (render/gated.py) and occupancy acceleration effective. New
+    capability; no reference counterpart."""
     ret = render_rays(
         params["coarse"],
         params.get("fine"),
@@ -69,7 +79,8 @@ def nerf_loss(
         rcfg,
         ccfg,
         fcfg,
-        retraw=False,
+        retraw=acc_reg > 0.0,
+        retraw_coarse=acc_reg > 0.0,
     )
     img_loss = img2mse(ret["rgb_map"], target)
     loss = img_loss
@@ -79,6 +90,14 @@ def nerf_loss(
         loss = loss + img_loss0
         aux["img_loss0"] = img_loss0
         aux["psnr0"] = mse2psnr(img_loss0)
+    if acc_reg > 0.0:
+        sigma = jax.nn.relu(ret["raw"][..., 3])
+        sparsity = jnp.mean(jnp.log1p(2.0 * sigma**2))
+        if "raw0" in ret:  # regularize the coarse net too — it drives the
+            sigma0 = jax.nn.relu(ret["raw0"][..., 3])  # render gate
+            sparsity = sparsity + jnp.mean(jnp.log1p(2.0 * sigma0**2))
+        loss = loss + acc_reg * sparsity
+        aux["acc_mean"] = jnp.mean(ret["acc_map"])
     aux["loss"] = loss
     return loss, aux
 
@@ -91,6 +110,7 @@ def make_train_step(
     W: int,
     focal: float,
     donate: bool = True,
+    acc_reg: float = 0.0,
 ):
     """Single-device jitted step over an explicit ray batch.
 
@@ -103,7 +123,8 @@ def make_train_step(
         )
 
         def loss_fn(params):
-            return nerf_loss(params, ray_batch, target, key, rcfg, ccfg, fcfg)
+            return nerf_loss(params, ray_batch, target, key, rcfg, ccfg, fcfg,
+                             acc_reg=acc_reg)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
@@ -172,6 +193,7 @@ def make_fused_train_step(
     mesh=None,
     inner_steps: int = 1,
     donate: bool = True,
+    acc_reg: float = 0.0,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -211,7 +233,8 @@ def make_fused_train_step(
 
         def loss_fn(params):
             return nerf_loss(
-                params, ray_batch, target, k_render, rcfg, ccfg, fcfg
+                params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
+                acc_reg=acc_reg,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -227,3 +227,42 @@ def test_remat_grads_match_non_remat():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_acc_regularizer_drives_transparency():
+    """With --acc_loss_weight the model must learn lower accumulated opacity
+    than without, at comparable photometric loss (the enabler for gated
+    rendering, render/gated.py)."""
+    import dataclasses
+
+    from nerf_shared_tpu.render.renderer import render_rays
+    from nerf_shared_tpu.train.step import pack_ray_batch
+
+    state0, rcfg, ccfg, fcfg = _tiny_setup()
+    rcfg = dataclasses.replace(rcfg, white_bkgd=True)
+    batch_rays, _ = _toy_batch(n=128)
+    target = jnp.ones((128, 3), jnp.float32)  # pure white background scene
+
+    results = {}
+    for acc_reg in (0.0, 0.05):
+        state, _, _, _ = _tiny_setup()
+        # start DENSE (positive sigma bias): the unregularized run can then
+        # explain the white target with white density; the regularized run
+        # must instead become transparent
+        params = jax.tree_util.tree_map(lambda x: x, state.params)
+        for m in ("coarse", "fine"):
+            params[m]["alpha_linear"]["b"] = params[m]["alpha_linear"]["b"] + 1.0
+        state = state.replace(params=params)
+        step = make_train_step(rcfg, ccfg, fcfg, H=8, W=8, focal=5.0,
+                               donate=False, acc_reg=acc_reg)
+        key = jax.random.PRNGKey(1)
+        for i in range(150):
+            state, aux = step(state, batch_rays, target,
+                              jax.random.fold_in(key, i))
+        rb = pack_ray_batch(batch_rays[0], batch_rays[1], rcfg, 8, 8, 5.0)
+        ret = render_rays(state.params["coarse"], state.params["fine"], rb,
+                          jax.random.PRNGKey(0),
+                          dataclasses.replace(rcfg, perturb=0.0), ccfg, fcfg)
+        results[acc_reg] = float(jnp.mean(ret["acc_map"]))
+    # regularized training must leave the white background more transparent
+    assert results[0.05] < results[0.0] - 0.2, results
