@@ -36,8 +36,10 @@ def main():
 
     ccfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
                       multires_views=4, skips=(4,))
+    fused_bwd = jax.default_backend() == "tpu"
     rcfg = RenderConfig(N_samples=64, N_importance=128, near=2.0, far=6.0,
-                        use_viewdirs=True, white_bkgd=True, perturb=1.0)
+                        use_viewdirs=True, white_bkgd=True, perturb=1.0,
+                        fused_backward=fused_bwd)
     focal = 0.5 * W / np.tan(0.5 * 0.6911112944989161)
     K = np.array([[focal, 0, W / 2], [0, focal, H / 2], [0, 0, 1]])
     spec = PixelSamplerSpec.from_K(H, W, K, N_RAND, single_image=True,

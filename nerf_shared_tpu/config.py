@@ -216,6 +216,10 @@ def config_parser() -> ConfigArgumentParser:
                              'whose coarse opacity is below this threshold '
                              '(0 = off/exact; 1e-3 is a good value for '
                              'object scenes)')
+    parser.add_argument("--fused_backward", type=_str2bool, default=False,
+                        help='train with the fully fused Pallas forward+'
+                             'backward kernel (fp32, in-kernel remat; '
+                             '~1.7x step throughput on v5e). TPU only.')
     parser.add_argument("--remat", type=_str2bool, default=False,
                         help='rematerialize MLP activations in backward '
                              '(jax.checkpoint) to train much larger ray '

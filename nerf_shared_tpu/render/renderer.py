@@ -42,6 +42,10 @@ from nerf_shared_tpu.ops.sampling import sample_along_rays, sample_pdf
 def _apply_model(params, mcfg, pts, viewdirs, rcfg):
     """MLP evaluation honoring the render engine's precision/kernel policy."""
     dtype = jnp.bfloat16 if rcfg.precision == "bf16" else jnp.float32
+    if rcfg.fused_backward:
+        from nerf_shared_tpu.ops.pallas.fused_mlp_bwd import fused_train_op
+
+        return fused_train_op(mcfg, params, pts, viewdirs)
     if rcfg.use_pallas:
         from nerf_shared_tpu.ops.pallas.fused_mlp import fused_nerf_forward
 
@@ -103,6 +107,9 @@ class RenderConfig:
     # trades ~1/3 more FLOPs for O(depth) less activation HBM, unlocking
     # much larger ray batches per chip
     remat: bool = False
+    # use the fully fused Pallas forward+backward for training (fp32):
+    # in-kernel rematerialization, zero activation HBM traffic
+    fused_backward: bool = False
 
 
 def render_rays(
