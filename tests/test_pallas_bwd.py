@@ -101,3 +101,35 @@ def test_train_step_with_fused_backward_learns():
         if first is None:
             first = float(aux["loss"])
     assert float(aux["loss"]) < first * 0.7, (first, float(aux["loss"]))
+
+
+def test_fused_backward_under_shard_map():
+    """The custom_vjp kernel must compose with shard_map DP on the virtual
+    8-device mesh (interpret mode per device)."""
+    import dataclasses
+
+    import numpy as _np
+
+    from nerf_shared_tpu.parallel.mesh import make_mesh, replicate
+    from nerf_shared_tpu.render.renderer import RenderConfig
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.train.step import make_sharded_train_step
+
+    mesh = make_mesh()
+    ccfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    rcfg = RenderConfig(N_samples=6, N_importance=6, near=2.0, far=6.0,
+                        white_bkgd=False, perturb=0.0, fused_backward=True)
+    state = create_train_state(jax.random.PRNGKey(0), ccfg, ccfg, lrate=5e-3)
+    rng = _np.random.default_rng(0)
+    n = 64
+    rays_o = _np.zeros((n, 3), _np.float32)
+    rays_d = rng.standard_normal((n, 3)).astype(_np.float32)
+    rays_d /= _np.linalg.norm(rays_d, -1, keepdims=True)
+    batch_rays = jnp.asarray(_np.stack([rays_o, rays_d]))
+    target = jnp.full((n, 3), 0.25, jnp.float32)
+    step = make_sharded_train_step(mesh, rcfg, ccfg, ccfg, H=8, W=8,
+                                   focal=5.0, donate=False)
+    st = replicate(mesh, state)
+    st, aux = step(st, batch_rays, target, jax.random.PRNGKey(0))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(st.step) == 1
