@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--size", type=int, default=800)
     ap.add_argument("--chunk", type=int, default=160000)
     ap.add_argument("--frames", type=int, default=3)
+    ap.add_argument("--gate", type=float, default=0.0,
+                    help="also measure the coarse-gated renderer at this "
+                         "threshold (needs a transparency-trained model to "
+                         "show wins; random weights here gate ~nothing)")
     args = ap.parse_args()
 
     from nerf_shared_tpu.models.nerf import NeRF, NeRFConfig
@@ -70,7 +74,28 @@ def main():
             print(f"{label}: {dt*1e3:.0f} ms/frame = {1/dt:.2f} fps")
         except Exception as e:  # variant unavailable on this backend
             print(f"{label}: failed ({str(e)[:120]})")
-    print(json.dumps({"metric": "render_800p_fps", "results": results}))
+    if args.gate > 0:
+        r = Renderer(N_samples=64, N_importance=128, near=2.0, far=6.0,
+                     perturb=0.0, white_bkgd=True, use_pallas=True)
+        rgb, ex = r.render_image_gated(H, W, K, c2w, coarse, fine,
+                                       chunk=args.chunk, threshold=args.gate)
+        _ = float(jnp.sum(rgb))
+        t0 = time.perf_counter()
+        for _i in range(args.frames):
+            rgb, ex = r.render_image_gated(H, W, K, c2w, coarse, fine,
+                                           chunk=args.chunk,
+                                           threshold=args.gate)
+        _ = float(jnp.sum(rgb))
+        dt = (time.perf_counter() - t0) / args.frames
+        results["gated"] = {
+            "sec_per_frame": round(dt, 4),
+            "fps": round(1.0 / dt, 3),
+            "active_fraction": round(float(ex["active_fraction"]), 3),
+        }
+        print(f"gated({args.gate}): {dt*1e3:.0f} ms/frame, "
+              f"active={results['gated']['active_fraction']}")
+    print(json.dumps({"metric": "render_fps", "size": args.size,
+                      "results": results}))
 
 
 if __name__ == "__main__":

@@ -261,6 +261,7 @@ class Renderer:
         precision: str = "fp32",
         use_pallas: bool = False,
         remat: bool = False,
+        fused_backward: bool = False,
     ):
         self.cfg = RenderConfig(
             perturb=float(perturb),
@@ -276,6 +277,7 @@ class Renderer:
             precision=str(precision),
             use_pallas=bool(use_pallas),
             remat=bool(remat),
+            fused_backward=bool(fused_backward),
         )
         self._training = True
 

@@ -201,3 +201,72 @@ def test_render_factor_downsamples(tmp_path):
     png = sorted(glob.glob(os.path.join(outdir, "*.png")))[0]
     img = imageio.imread(png)
     assert img.shape[:2] == (8, 8)  # 16/2
+
+
+def test_e2e_llff_ndc_batching_mode(tmp_path):
+    """LLFF scene through the CLI: NDC rays + use_batching sampling (the
+    reference fern recipe shape, configs/fern.txt)."""
+    from nerf_shared_tpu.data.poses import view_matrix
+
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    imgdir = os.path.join(datadir, "images")
+    os.makedirs(imgdir)
+    rng = np.random.default_rng(0)
+    n, size = 6, 16
+    poses = []
+    for i in range(n):
+        imwrite_u8(
+            os.path.join(imgdir, f"img_{i:02d}.png"),
+            (rng.random((size, size, 3)) * 255).astype(np.uint8),
+        )
+        # forward-facing cluster with slight offsets
+        pos = np.array([0.1 * i, 0.05 * i, 0.02 * i])
+        m = view_matrix(np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]),
+                        pos)
+        hwf = np.array([[size], [size], [size * 1.2]])
+        poses.append(np.concatenate([m, hwf], 1))
+    poses = np.stack(poses)
+    bds = np.stack([np.full(n, 1.5), np.full(n, 7.0)], -1)
+    arr = np.concatenate([poses.reshape(n, -1), bds], axis=1)
+    np.save(os.path.join(datadir, "poses_bounds.npy"), arr)
+
+    cfg = os.path.join(root, "llff.txt")
+    with open(cfg, "w") as f:
+        f.write("\n".join([
+            "expname = llff_e2e",
+            f"basedir = {os.path.join(root, 'logs')}",
+            f"datadir = {datadir}",
+            "dataset_type = llff",
+            "training = True",
+            "factor = 1",
+            "llffhold = 3",
+            "use_viewdirs = True",
+            "N_samples = 8",
+            "N_importance = 8",
+            "N_rand = 64",
+            "netdepth = 2",
+            "netwidth = 32",
+            "netdepth_fine = 2",
+            "netwidth_fine = 32",
+            "multires = 4",
+            "multires_views = 2",
+            "N_iters = 16",
+            "i_print = 8",
+            "i_weights = 16",
+            "i_testset = 0",
+            "i_img = 0",
+            "i_video = 0",
+        ]) + "\n")
+    args = config_parser().parse_args(["--config", cfg])
+    assert not args.no_batching  # use_batching mode
+    run(args)
+    expdir = os.path.join(root, "logs", "llff_e2e")
+    assert glob.glob(os.path.join(expdir, "*.tar"))
+
+    # render a test view through NDC
+    args2 = config_parser().parse_args(
+        ["--config", cfg, "--render_only", "--render_test", "--chunk", "256"]
+    )
+    outdir = render_only(args2)
+    assert glob.glob(os.path.join(outdir, "*.png"))
