@@ -82,6 +82,7 @@ def train(args):
         single_image=args.no_batching,
         precrop_iters=args.precrop_iters,
         precrop_frac=args.precrop_frac,
+        exact_epochs=bool(getattr(args, "exact_epochs", False)),
     )
 
     # device-resident training images/poses (train split only)

@@ -207,6 +207,11 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--N_iters", type=int, default=200000,
                         help='number of training iterations (reference '
                              'main.py:60 hardcodes 200000)')
+    parser.add_argument("--exact_epochs", type=_str2bool, default=False,
+                        help='batching mode: walk a true without-replacement '
+                             'epoch permutation (stateless Feistel bijection) '
+                             'instead of i.i.d. pixel draws — the reference '
+                             'epoch-shuffle semantics, device-side')
     parser.add_argument("--acc_loss_weight", type=float, default=0.0,
                         help='density-sparsity (Cauchy) regularizer weight: '
                              'trains empty space toward true transparency, '

@@ -15,9 +15,11 @@ tensor, no host RNG, no transfer. Sampling modes:
   step, N_rand pixels from it, with the precrop window for the first
   precrop_iters steps (utils.py:421-430).
 - ``single_image=False`` (reference use_batching): N_rand (image, pixel)
-  pairs drawn across all train images. The reference's epoch-wise shuffle
-  without replacement is replaced by uniform i.i.d. sampling — identical in
-  expectation, and it keeps the step a pure function of (key, step).
+  pairs drawn across all train images — i.i.d. by default (identical in
+  expectation to the reference's shuffle), or with ``exact_epochs=True`` a
+  true without-replacement epoch walk via a stateless Feistel permutation
+  (ops/permute.py), matching the reference's epoch-shuffle semantics
+  (utils.py:405-409) with zero stored state.
 """
 
 from __future__ import annotations
@@ -44,6 +46,10 @@ class PixelSamplerSpec:
     single_image: bool = True
     precrop_iters: int = 0
     precrop_frac: float = 0.5
+    # batching mode only: walk a true without-replacement epoch permutation
+    # (stateless Feistel bijection, ops/permute.py) instead of i.i.d. draws —
+    # the exact semantics of the reference's epoch shuffle (utils.py:405-409)
+    exact_epochs: bool = False
 
     @classmethod
     def from_K(cls, H, W, K, N_rand, **kw):
@@ -72,8 +78,10 @@ def sample_ray_batch(
     key: jax.Array,
     images: jnp.ndarray,     # [Nt, H, W, 3] train images (device-resident)
     poses: jnp.ndarray,      # [Nt, 3, 4]    train poses
-    step: jnp.ndarray,       # scalar int (for precrop gating)
+    step: jnp.ndarray,       # scalar int (precrop gating / epoch position)
     spec: PixelSamplerSpec,
+    batch_offset=0,          # this device's offset into the global batch
+                             # (exact_epochs sharding)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Draw N_rand rays + target pixels fully on device.
 
@@ -103,9 +111,37 @@ def sample_ray_batch(
         rays_o = jnp.broadcast_to(pose[:3, 3], rays_d.shape)
         target = images[img_idx, y, x]
     else:
-        img_idx = jax.random.randint(k_img, (N,), 0, n_train)
-        y = jax.random.randint(k_y, (N,), 0, H)
-        x = jax.random.randint(k_x, (N,), 0, W)
+        if spec.exact_epochs:
+            from nerf_shared_tpu.ops.permute import permute_index
+
+            total = n_train * H * W
+            # int32 throughout (x64 is disabled): step*N_rand must stay
+            # below 2^31 — true for every reference config (200k steps x
+            # 4096 rays = 8.2e8)
+            g = step.astype(jnp.int32) * N + batch_offset + jnp.arange(
+                N, dtype=jnp.int32
+            )
+            epoch = (g // total).astype(jnp.int32)
+            pos = (g % total).astype(jnp.int32)
+            base = jax.random.PRNGKey(0x5EED)
+            # a batch can straddle an epoch boundary: evaluate both epochs'
+            # permutations and select per element
+            e0 = epoch[0]
+            k0 = jax.random.fold_in(base, e0)
+            k1 = jax.random.fold_in(base, e0 + 1)
+            flat = jnp.where(
+                epoch == e0,
+                permute_index(k0, pos, total),
+                permute_index(k1, pos, total),
+            )
+            img_idx = flat // (H * W)
+            rest = flat % (H * W)
+            y = rest // W
+            x = rest % W
+        else:
+            img_idx = jax.random.randint(k_img, (N,), 0, n_train)
+            y = jax.random.randint(k_y, (N,), 0, H)
+            x = jax.random.randint(k_x, (N,), 0, W)
         pose = poses[img_idx]  # [N, 3, 4]
         dirs = _pixel_dirs(x.astype(jnp.float32), y.astype(jnp.float32), spec)
         rays_d = jnp.einsum("nc,nrc->nr", dirs, pose[:, :3, :3])

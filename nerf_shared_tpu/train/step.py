@@ -221,11 +221,16 @@ def make_fused_train_step(
         local_spec = spec
 
     def one_step(state: TrainState, images, poses, key):
+        batch_offset = 0
         if sharded:
-            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            axis_idx = jax.lax.axis_index("data")
+            key = jax.random.fold_in(key, axis_idx)
+            # exact-epoch mode partitions the global batch across devices
+            batch_offset = axis_idx * local_spec.N_rand
         k_sample, k_render = jax.random.split(key)
         rays_o, rays_d, target = sample_ray_batch(
-            k_sample, images, poses, state.step, local_spec
+            k_sample, images, poses, state.step, local_spec,
+            batch_offset=batch_offset,
         )
         ray_batch = pack_ray_batch(
             rays_o, rays_d, rcfg, spec.H, spec.W, spec.fx
