@@ -79,31 +79,31 @@ def config_parser() -> ConfigArgumentParser:
     """Build the flag set of the reference (config_parser.py:2-116) + TPU flags."""
     parser = ConfigArgumentParser()
     parser.add_argument('--config', type=str, default=None,
-                        help='config file path')
+                        help='path to a key = value config file')
     parser.add_argument("--expname", type=str,
-                        help='experiment name')
+                        help='name of this experiment/run')
     parser.add_argument("--basedir", type=str, default='./logs/',
-                        help='where to store ckpts and logs')
+                        help='root directory for experiment logs/checkpoints')
     parser.add_argument("--datadir", type=str, default='./data/llff/fern',
-                        help='input data directory')
+                        help='dataset root directory')
     parser.add_argument("--training", action='store_true',
                         help='run the training loop')
 
     # training options
     parser.add_argument("--netdepth", type=int, default=8,
-                        help='layers in network')
+                        help='depth of the coarse MLP')
     parser.add_argument("--netwidth", type=int, default=256,
-                        help='channels per layer')
+                        help='width of the coarse MLP')
     parser.add_argument("--netdepth_fine", type=int, default=8,
-                        help='layers in fine network')
+                        help='depth of the fine MLP')
     parser.add_argument("--netwidth_fine", type=int, default=256,
-                        help='channels per layer in fine network')
+                        help='width of the fine MLP')
     parser.add_argument("--N_rand", type=int, default=32 * 32 * 4,
-                        help='batch size (number of random rays per gradient step)')
+                        help='rays per gradient step (the ray batch size)')
     parser.add_argument("--lrate", type=float, default=5e-4,
-                        help='learning rate')
+                        help='Adam learning rate')
     parser.add_argument("--lrate_decay", type=int, default=250,
-                        help='exponential learning rate decay (in 1000 steps)')
+                        help='LR decays by 10x over this many thousand steps')
     parser.add_argument("--chunk", type=int, default=1024 * 32,
                         help='number of rays processed in parallel (memory knob; '
                              'results identical)')
@@ -111,83 +111,83 @@ def config_parser() -> ConfigArgumentParser:
                         help='number of pts sent through network in parallel '
                              '(memory knob; results identical)')
     parser.add_argument("--no_batching", action='store_true',
-                        help='only take random rays from 1 image at a time')
+                        help='sample each batch from a single random image')
     parser.add_argument("--no_reload", action='store_true',
-                        help='do not reload weights from saved ckpt')
+                        help='start fresh: ignore existing checkpoints')
     parser.add_argument("--ft_path", type=str, default=None,
-                        help='specific weights file to reload')
+                        help='explicit checkpoint path overriding the newest-in-expdir rule')
 
     # rendering options
     parser.add_argument("--N_samples", type=int, default=64,
-                        help='number of coarse samples per ray')
+                        help='stratified (coarse) samples per ray')
     parser.add_argument("--N_importance", type=int, default=0,
-                        help='number of additional fine samples per ray')
+                        help='hierarchical (fine) resamples per ray; 0 disables the fine pass')
     parser.add_argument("--perturb", type=float, default=1.,
-                        help='set to 0. for no jitter, 1. for jitter')
+                        help='stratified-sampling jitter amount (0 = deterministic)')
     parser.add_argument("--use_viewdirs", action='store_true',
-                        help='use full 5D input instead of 3D')
+                        help='condition color on viewing direction (5D input)')
     parser.add_argument("--i_embed", type=int, default=0,
-                        help='set 0 for default positional encoding, -1 for none')
+                        help='0: sinusoidal positional encoding; -1: identity')
     parser.add_argument("--multires", type=int, default=10,
-                        help='log2 of max freq for positional encoding (3D location)')
+                        help='frequency octaves for the position encoding')
     parser.add_argument("--multires_views", type=int, default=4,
-                        help='log2 of max freq for positional encoding (2D direction)')
+                        help='frequency octaves for the direction encoding')
     parser.add_argument("--raw_noise_std", type=float, default=0.,
-                        help='std dev of noise added to regularize sigma_a output')
+                        help='stddev of the sigma-noise training regularizer')
 
     parser.add_argument("--render_only", action='store_true',
                         help='do not optimize, reload weights and render out '
                              'render_poses path')
     parser.add_argument("--render_test", action='store_true',
-                        help='render the test set instead of render_poses path')
+                        help='use the test-split poses for rendering instead of the camera path')
     parser.add_argument("--render_factor", type=int, default=0,
-                        help='downsampling factor to speed up rendering')
+                        help='render at 1/N resolution for quick previews')
 
     # training options (precrop)
     parser.add_argument("--precrop_iters", type=int, default=0,
-                        help='number of steps to train on central crops')
+                        help='train on the image center crop for this many first steps')
     parser.add_argument("--precrop_frac", type=float, default=.5,
-                        help='fraction of img taken for central crops')
+                        help='center-crop fraction during precrop_iters')
 
     # dataset options
     parser.add_argument("--dataset_type", type=str, default='llff',
-                        help='options: llff / blender / deepvoxels / LINEMOD')
+                        help='one of: llff, blender, deepvoxels, LINEMOD')
     parser.add_argument("--testskip", type=int, default=8,
-                        help='will load 1/N images from test/val sets')
+                        help='stride applied to val/test frames on load')
 
     # deepvoxels flags
     parser.add_argument("--shape", type=str, default='greek',
-                        help='options : armchair / cube / greek / vase')
+                        help='deepvoxels scene name (armchair/cube/greek/vase)')
 
     # blender flags
     parser.add_argument("--white_bkgd", action='store_true',
-                        help='render synthetic data on a white bkgd')
+                        help='alpha-composite RGBA data onto a white background')
     parser.add_argument("--half_res", action='store_true',
-                        help='load blender synthetic data at 400x400 instead of 800x800')
+                        help='halve blender resolution on load (800->400)')
 
     # llff flags
     parser.add_argument("--factor", type=int, default=8,
-                        help='downsample factor for LLFF images')
+                        help='LLFF image downsample factor (cached in images_N/)')
     parser.add_argument("--no_ndc", action='store_true',
-                        help='do not use normalized device coordinates')
+                        help='disable the NDC ray warp (use for non-forward-facing scenes)')
     parser.add_argument("--lindisp", action='store_true',
-                        help='sampling linearly in disparity rather than depth')
+                        help='place coarse samples linearly in disparity instead of depth')
     parser.add_argument("--spherify", action='store_true',
-                        help='set for spherical 360 scenes')
+                        help='spherify LLFF poses (360-degree captures)')
     parser.add_argument("--llffhold", type=int, default=8,
-                        help='will take every 1/N images as LLFF test set')
+                        help='hold out every Nth LLFF image as test')
 
     # logging/saving options
     parser.add_argument("--i_print", type=int, default=100,
-                        help='frequency of console printout and metric logging')
+                        help='console/metric logging cadence (iterations)')
     parser.add_argument("--i_img", type=int, default=500,
-                        help='frequency of tensorboard image logging')
+                        help='validation-image render cadence (iterations)')
     parser.add_argument("--i_weights", type=int, default=10000,
-                        help='frequency of weight ckpt saving')
+                        help='checkpoint cadence (iterations)')
     parser.add_argument("--i_testset", type=int, default=50000,
-                        help='frequency of testset saving')
+                        help='test-set render cadence (iterations)')
     parser.add_argument("--i_video", type=int, default=50000,
-                        help='frequency of render_poses video saving')
+                        help='render-path video cadence (iterations)')
     parser.add_argument("--tensorboard", type=_str2bool, default=False,
                         help='log statistics and test images with tensorboard')
 
