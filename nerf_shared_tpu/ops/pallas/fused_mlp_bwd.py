@@ -16,7 +16,6 @@ forward (fused_mlp.py) through jax.custom_vjp in fused_train_op().
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

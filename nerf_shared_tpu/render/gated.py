@@ -32,13 +32,11 @@ those, 0 (off, the default) otherwise.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from nerf_shared_tpu.models.nerf import NeRFConfig
 from nerf_shared_tpu.ops.sampling import sample_along_rays, sample_pdf
