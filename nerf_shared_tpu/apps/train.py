@@ -233,10 +233,34 @@ def render_only(args):
         args.basedir, args.expname, f"renderonly_{suffix}_{start:06d}"
     )
     poses = ds.render_poses[:, :3, :4] if ds.render_poses.ndim == 3 else ds.render_poses
+    occ_grid = None
+    if getattr(args, "occ_grid", 0) > 0:
+        from nerf_shared_tpu.render.occupancy import (
+            aabb_from_poses,
+            build_occupancy_grid,
+        )
+
+        lo, hi = aabb_from_poses(
+            H, W, K, ds.poses, renderer.cfg.near, renderer.cfg.far
+        )
+        model_g = fine if fine is not None else coarse
+        pf, fcfg_g = model_g.params, model_g.cfg
+        occ_grid = build_occupancy_grid(
+            pf, fcfg_g, renderer.cfg, lo, hi,
+            resolution=args.occ_grid,
+            alpha_threshold=args.occ_alpha_thresh,
+        )
+        print(
+            f"Occupancy grid {args.occ_grid}^3: "
+            f"{occ_grid.occupied_fraction():.1%} occupied"
+        )
     rgbs = renderer.render_from_batch_poses(
         H, W, K, args.chunk, poses, coarse, fine,
         retraw=False, save_directory=outdir, b_combine_as_video=True,
         gate_threshold=getattr(args, "render_gate", 0.0),
+        occ_grid=occ_grid,
+        occ_candidates=getattr(args, "occ_candidates", 128),
+        occ_keep=getattr(args, "occ_keep", 64),
     )
     print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
     return outdir

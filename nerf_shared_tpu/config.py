@@ -221,6 +221,21 @@ def config_parser() -> ConfigArgumentParser:
                              'whose coarse opacity is below this threshold '
                              '(0 = off/exact; 1e-3 is a good value for '
                              'object scenes)')
+    parser.add_argument("--occ_grid", type=int, default=0,
+                        help='fast rendering: build an occupancy grid of '
+                             'this resolution (e.g. 128) from the trained '
+                             'density field and evaluate the network only '
+                             'at grid-occupied sample points (0 = off)')
+    parser.add_argument("--occ_alpha_thresh", type=float, default=1e-3,
+                        help='occupancy-grid build threshold: cells whose '
+                             'one-cell-crossing alpha stays below this are '
+                             'treated as empty')
+    parser.add_argument("--occ_candidates", type=int, default=128,
+                        help='candidate depths per ray triaged through the '
+                             'occupancy grid before network evaluation')
+    parser.add_argument("--occ_keep", type=int, default=64,
+                        help='network evaluations per ray: the nearest '
+                             'occupied candidates kept after grid triage')
     parser.add_argument("--fused_backward", type=_str2bool, default=False,
                         help='train with the fully fused Pallas forward+'
                              'backward kernel (fp32, in-kernel remat; '

@@ -456,6 +456,30 @@ class Renderer:
         out["active_fraction"] = ret["active_fraction"]
         return out["rgb_map"], out
 
+    def render_image_occ(
+        self, H, W, K, c2w, fine_model, occ_grid,
+        chunk: int = 1024 * 32, key: Optional[jax.Array] = None,
+        n_candidates: int = 128, n_keep: int = 64, select: str = "sort",
+        gate_rays: bool = False,
+    ):
+        """Full-image render through an occupancy grid (render/occupancy.py):
+        only the n_keep nearest grid-occupied candidate depths per ray reach
+        the network; ``gate_rays`` additionally compacts away rays that hit
+        no occupied cell at all. Returns (rgb [H,W,3], extras dict)."""
+        from nerf_shared_tpu.render.occupancy import render_flat_rays_occ
+
+        pf, fcfg = _model_parts(fine_model)
+        rays_flat, sh = self._pack_rays(H, W, K, None, c2w, None)
+        ret = render_flat_rays_occ(
+            rays_flat, (pf, fcfg), occ_grid, self.cfg, fcfg, chunk=chunk,
+            key=key, n_candidates=n_candidates, n_keep=n_keep,
+            select=select, gate_rays=gate_rays,
+        )
+        out = {k: jnp.reshape(v, list(sh[:-1]) + list(v.shape[1:]))
+               for k, v in ret.items() if v.ndim > 0}
+        out.update({k: v for k, v in ret.items() if v.ndim == 0})
+        return out["rgb_map"], out
+
     def render_from_batch_poses(
         self,
         H,
@@ -471,6 +495,9 @@ class Renderer:
         tb_writer=None,
         key: Optional[jax.Array] = None,
         gate_threshold: float = 0.0,
+        occ_grid=None,
+        occ_candidates: int = 128,
+        occ_keep: int = 64,
     ):
         """Render poses to PNGs (+ optional mp4 / TensorBoard), reference
         render_utils.py:293-319. Rendering is done in eval mode with
@@ -491,7 +518,14 @@ class Renderer:
             os.makedirs(save_directory, exist_ok=True)
         rgbs = []
         for i, c2w in enumerate(np.asarray(batch_c2w)):
-            if gate_threshold > 0.0:
+            if occ_grid is not None:
+                rgb, _ = eval_renderer.render_image_occ(
+                    H, W, K, jnp.asarray(c2w[:3, :4]),
+                    fine_model if fine_model is not None else coarse_model,
+                    occ_grid, chunk=chunk, key=key,
+                    n_candidates=occ_candidates, n_keep=occ_keep,
+                )
+            elif gate_threshold > 0.0:
                 rgb, _ = eval_renderer.render_image_gated(
                     H, W, K, jnp.asarray(c2w[:3, :4]), coarse_model,
                     fine_model, chunk=chunk, key=key,

@@ -1,0 +1,227 @@
+"""Occupancy-grid fast renderer (render/occupancy.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRF, NeRFConfig, apply_nerf
+from nerf_shared_tpu.render import occupancy as O
+from nerf_shared_tpu.render.renderer import RenderConfig, Renderer, render_rays
+
+
+def _model():
+    ccfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    return NeRF.create(jax.random.PRNGKey(0), ccfg), ccfg
+
+
+def _rays(n, seed=0, origin_scale=0.1):
+    rng = np.random.default_rng(seed)
+    ro = rng.standard_normal((n, 3)).astype(np.float32) * origin_scale
+    rd = rng.standard_normal((n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    return jnp.asarray(np.concatenate(
+        [ro, rd, np.full((n, 1), 2, np.float32),
+         np.full((n, 1), 6, np.float32), rd], -1))
+
+
+def _rcfg(**kw):
+    base = dict(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                perturb=0.0, white_bkgd=True)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_lookup_matches_numpy():
+    rng = np.random.default_rng(1)
+    grid = rng.random((5, 6, 7)) > 0.6
+    lo = np.array([-1.0, 0.0, 2.0], np.float32)
+    hi = np.array([1.0, 3.0, 2.5], np.float32)
+    occ = O.OccupancyGrid(jnp.asarray(grid), jnp.asarray(lo), jnp.asarray(hi))
+    pts = rng.uniform(-2, 4, size=(200, 3)).astype(np.float32)
+    got = np.asarray(O.lookup(occ, jnp.asarray(pts)))
+    u = (pts - lo) / (hi - lo)
+    inb = ((u >= 0) & (u < 1)).all(-1)
+    idx = np.clip((u * grid.shape).astype(int), 0, np.array(grid.shape) - 1)
+    want = grid[idx[:, 0], idx[:, 1], idx[:, 2]] & inb
+    np.testing.assert_array_equal(got, want)
+
+
+def test_build_grid_is_conservative():
+    """Every point whose density clears 3x the build threshold must sit in
+    an occupied cell (jittered probes + one-cell dilation)."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    lo, hi = jnp.array([-3.0, -3, -3]), jnp.array([3.0, 3, 3])
+    occ = O.build_occupancy_grid(
+        model.params, ccfg, rcfg, lo, hi, resolution=16,
+        n_jitter=4, alpha_threshold=1e-2, block=1024,
+    )
+    frac = occ.occupied_fraction()
+    assert 0.0 < frac < 1.0, frac
+
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.uniform(-3, 3, size=(512, 3)).astype(np.float32))
+    dirs = jnp.full((512, 3), 1.0 / np.sqrt(3.0), jnp.float32)
+    sigma = apply_nerf(model.params, ccfg, pts[:, None, :], dirs)[..., 0, 3]
+    step = float(jnp.linalg.norm((hi - lo) / 16))
+    tau = -np.log1p(-1e-2)
+    hot = np.asarray(jax.nn.relu(sigma) * step) > 3 * tau
+    marked = np.asarray(O.lookup(occ, pts))
+    assert hot.any()
+    assert marked[hot].mean() >= 0.99
+
+
+def test_all_occupied_equals_dense_uniform():
+    """With every cell occupied and K == C, the fast path degenerates to the
+    dense coarse-only render at identical sample depths — bit-equal."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(20)
+    full = O.OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                           jnp.array([-99.0, -99, -99]),
+                           jnp.array([99.0, 99, 99]))
+    fast = O.render_flat_rays_occ(rb, model, full, rcfg, ccfg, chunk=8,
+                                  n_candidates=12, n_keep=12)
+    dense = render_rays(
+        model.params, None, rb, jax.random.PRNGKey(0),
+        _rcfg(N_samples=12, N_importance=0), ccfg, None,
+    )
+    assert (np.asarray(fast["n_active"]) == 12).all()
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(fast[k]), np.asarray(dense[k]), rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_empty_grid_renders_background():
+    model, ccfg = _model()
+    rb = _rays(10)
+    empty = O.OccupancyGrid(jnp.zeros((4, 4, 4), bool),
+                            jnp.array([-99.0, -99, -99]),
+                            jnp.array([99.0, 99, 99]))
+    out = O.render_flat_rays_occ(rb, model, empty, _rcfg(), ccfg, chunk=8,
+                                 n_candidates=12, n_keep=8)
+    assert (np.asarray(out["n_active"]) == 0).all()
+    np.testing.assert_allclose(np.asarray(out["rgb_map"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["acc_map"]), 0.0)
+
+
+def test_topk_truncation_lossless_when_k_suffices():
+    """Occupancy confined to a thin slab: few candidates per ray are
+    occupied, so a small K keeps all of them and must match K == C."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(32, seed=4)
+    # occupy only the central cube [-3,3]^3: rays from near the origin always
+    # exit it before far=6 (even corner-wise, 3*sqrt(3) < 6), so every ray
+    # has strictly fewer than C occupied candidates
+    grid = np.zeros((9, 9, 9), bool)
+    grid[3:6, 3:6, 3:6] = True
+    occ = O.OccupancyGrid(jnp.asarray(grid),
+                          jnp.array([-9.0, -9, -9]), jnp.array([9.0, 9, 9]))
+    big = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                 n_candidates=24, n_keep=24)
+    n_act = np.asarray(big["n_active"])
+    k_small = int(n_act.max())
+    assert 0 < k_small < 24, k_small  # the slab actually prunes candidates
+    small = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                   n_candidates=24, n_keep=k_small)
+    for k in ("rgb_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(small[k]), np.asarray(big[k]), rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_selection_methods_agree():
+    """sort-based and onehot-based top-K must produce identical renders
+    (same selected depths, same padding)."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(48, seed=7, origin_scale=1.5)
+    rng = np.random.default_rng(8)
+    grid = rng.random((8, 8, 8)) > 0.7
+    occ = O.OccupancyGrid(jnp.asarray(grid),
+                          jnp.array([-6.0, -6, -6]), jnp.array([6.0, 6, 6]))
+    a = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                               n_candidates=24, n_keep=12, select="sort")
+    b = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                               n_candidates=24, n_keep=12, select="onehot")
+    np.testing.assert_array_equal(np.asarray(a["n_active"]),
+                                  np.asarray(b["n_active"]))
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-6, atol=1e-7,
+            err_msg=k,
+        )
+
+
+def test_ray_gate_matches_ungated():
+    """gate_rays=True must skip exactly the zero-occupancy rays (background)
+    and reproduce the ungated render on every active ray."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(64, seed=9, origin_scale=2.0)
+    grid = np.zeros((9, 9, 9), bool)
+    grid[3:6, 3:6, 3:6] = True
+    occ = O.OccupancyGrid(jnp.asarray(grid),
+                          jnp.array([-9.0, -9, -9]), jnp.array([9.0, 9, 9]))
+    plain = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                   n_candidates=24, n_keep=12)
+    gated = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                   n_candidates=24, n_keep=12, gate_rays=True)
+    frac = float(gated["active_ray_fraction"])
+    assert 0.0 < frac < 1.0, frac
+    active = np.asarray(plain["n_active"]) > 0
+    np.testing.assert_array_equal(
+        np.asarray(gated["n_active"]), np.asarray(plain["n_active"]))
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(gated[k])[active], np.asarray(plain[k])[active],
+            rtol=1e-6, atol=1e-7, err_msg=k)
+    # skipped rays are exact background
+    np.testing.assert_allclose(np.asarray(gated["rgb_map"])[~active], 1.0)
+    np.testing.assert_allclose(np.asarray(gated["acc_map"])[~active], 0.0)
+    # ...which the ungated render agrees with (masked sigma -> acc == 0)
+    np.testing.assert_allclose(np.asarray(plain["acc_map"])[~active], 0.0)
+
+
+def test_renderer_image_and_batch_pose_api(tmp_path):
+    model, ccfg = _model()
+    renderer = Renderer(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=0.0, white_bkgd=True)
+    H = W = 8
+    K = np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]])
+    c2w = jnp.eye(4)[:3]
+    full = O.OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                           jnp.array([-99.0, -99, -99]),
+                           jnp.array([99.0, 99, 99]))
+    rgb, extras = renderer.render_image_occ(
+        H, W, K, c2w, model, full, chunk=32, n_candidates=12, n_keep=8)
+    assert rgb.shape == (H, W, 3)
+    assert extras["n_active"].shape == (H, W)
+    assert np.isfinite(np.asarray(rgb)).all()
+
+    poses = np.stack([np.eye(4), np.eye(4)])
+    rgbs = renderer.render_from_batch_poses(
+        H, W, K, 32, poses, model, None, retraw=False,
+        save_directory=str(tmp_path), occ_grid=full,
+        occ_candidates=12, occ_keep=8,
+    )
+    assert rgbs.shape == (2, H, W, 3)
+    assert (tmp_path / "000.png").exists()
+
+
+def test_aabb_from_poses_contains_frustum():
+    H = W = 16
+    K = np.array([[16.0, 0, 8], [0, 16.0, 8], [0, 0, 1]])
+    pose = np.eye(4)
+    pose[2, 3] = 4.0
+    lo, hi = O.aabb_from_poses(H, W, K, pose, near=2.0, far=6.0)
+    from nerf_shared_tpu.ops.rays import get_rays
+
+    ro, rd = get_rays(H, W, K, jnp.asarray(pose[:3, :4]))
+    mids = np.asarray(ro) + np.asarray(rd) * 4.0  # interior frustum points
+    assert (mids >= lo).all() and (mids <= hi).all()
+    assert (np.asarray(ro)[0, 0] >= lo).all()
