@@ -83,3 +83,78 @@ def make_sharded_render(
         return {k: v[:n] for k, v in out.items()}
 
     return render_fn
+
+
+def make_sharded_render_occ(
+    mesh,
+    rcfg: RenderConfig,
+    fcfg: NeRFConfig,
+    block: int = 16384,
+    n_candidates: int = 128,
+    n_keep: int = 64,
+    select: str = "sort",
+):
+    """Occupancy-grid render sharded over the 'data' mesh axis: the grid and
+    network replicate, rays split, pixels all-gather. The top-K selection is
+    static-shape, so the fast path shards exactly like the dense one (the
+    host-sync ray gate of render_flat_rays_occ is single-chip only — here
+    the lookup triage runs per device instead).
+
+    Returns render_fn(params_fine, occ_grid, rays_flat, key) -> dict.
+    """
+    from nerf_shared_tpu.render.occupancy import _render_occ_block
+
+    n_data = mesh.shape["data"]
+
+    def per_device(params_fine, occ, rays_local, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        n = rays_local.shape[0]
+        blk = min(block, n)
+        n_blocks = -(-n // blk)
+        pad = n_blocks * blk - n
+        if pad:
+            rays_local = jnp.concatenate(
+                [rays_local,
+                 jnp.broadcast_to(rays_local[-1:], (pad, rays_local.shape[1]))]
+            )
+        blocks = rays_local.reshape(n_blocks, blk, rays_local.shape[-1])
+        keys = jax.random.split(key, n_blocks)
+
+        def one(args):
+            rb, k = args
+            return _render_occ_block(
+                params_fine, occ, rb, k, rcfg, fcfg, n_candidates, n_keep,
+                select,
+            )
+
+        out = jax.lax.map(one, (blocks, keys))
+        return {
+            k: v.reshape((n_blocks * blk,) + v.shape[2:])[:n]
+            for k, v in out.items()
+        }
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    jitted = jax.jit(fn)
+
+    def render_fn(params_fine, occ_grid, rays_flat, key) -> Dict:
+        n = rays_flat.shape[0]
+        padded = -(-n // n_data) * n_data
+        if padded != n:
+            rays_flat = jnp.concatenate(
+                [
+                    rays_flat,
+                    jnp.broadcast_to(
+                        rays_flat[-1:], (padded - n, rays_flat.shape[1])
+                    ),
+                ]
+            )
+        out = jitted(params_fine, occ_grid, rays_flat, key)
+        return {k: v[:n] for k, v in out.items()}
+
+    return render_fn

@@ -256,6 +256,48 @@ def _topk_nearest_occupied(z_cand, occ_c, n_keep, far, method):
     return jnp.where(valid, z_sel, far), valid
 
 
+def _render_occ_block(
+    params_fine,
+    occ: OccupancyGrid,
+    rb: jnp.ndarray,     # [R, 8|11]
+    key,
+    rcfg: RenderConfig,
+    fcfg: NeRFConfig,
+    n_candidates: int,
+    n_keep: int,
+    select: str,
+) -> Dict[str, jnp.ndarray]:
+    """Candidate triage + top-K selection + masked render of one ray block
+    — the shared body of the single-chip and shard_map render paths."""
+    rays_o, rays_d = rb[:, 0:3], rb[:, 3:6]
+    viewdirs = rb[:, -3:] if rb.shape[-1] > 8 else None
+    near, far = rb[:, 6:7], rb[:, 7:8]
+    k_strat, k_noise = jax.random.split(key)
+
+    z_cand = sample_along_rays(
+        k_strat, near, far, n_candidates,
+        lindisp=rcfg.lindisp, perturb=rcfg.perturb,
+    )  # [R, C]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_cand[..., None]
+    occ_c = lookup(occ, pts)  # [R, C] bool
+
+    z_sel, valid = _topk_nearest_occupied(
+        z_cand, occ_c, n_keep, far, select
+    )  # [R, K]
+
+    pts_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
+    raw = _apply_model(params_fine, fcfg, pts_sel, viewdirs, rcfg)
+    sigma = jnp.where(valid, raw[..., 3], -1e10)
+    raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
+    rgb, disp, acc, _, _ = _composite(
+        raw, z_sel, rays_d, rcfg, k_noise, None
+    )
+    return {
+        "rgb_map": rgb, "disp_map": disp, "acc_map": acc,
+        "n_active": jnp.sum(valid, axis=-1),
+    }
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rcfg", "fcfg", "n_candidates", "n_keep", "block",
@@ -275,33 +317,10 @@ def _occ_render_blocks(
 ):
     def one(args):
         rb, key = args
-        rays_o, rays_d = rb[:, 0:3], rb[:, 3:6]
-        viewdirs = rb[:, -3:] if rb.shape[-1] > 8 else None
-        near, far = rb[:, 6:7], rb[:, 7:8]
-        k_strat, k_noise = jax.random.split(key)
-
-        z_cand = sample_along_rays(
-            k_strat, near, far, n_candidates,
-            lindisp=rcfg.lindisp, perturb=rcfg.perturb,
-        )  # [R, C]
-        pts = rays_o[:, None, :] + rays_d[:, None, :] * z_cand[..., None]
-        occ_c = lookup(occ, pts)  # [R, C] bool
-
-        z_sel, valid = _topk_nearest_occupied(
-            z_cand, occ_c, n_keep, far, select
-        )  # [R, K]
-
-        pts_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
-        raw = _apply_model(params_fine, fcfg, pts_sel, viewdirs, rcfg)
-        sigma = jnp.where(valid, raw[..., 3], -1e10)
-        raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
-        rgb, disp, acc, _, _ = _composite(
-            raw, z_sel, rays_d, rcfg, k_noise, None
+        return _render_occ_block(
+            params_fine, occ, rb, key, rcfg, fcfg, n_candidates, n_keep,
+            select,
         )
-        return {
-            "rgb_map": rgb, "disp_map": disp, "acc_map": acc,
-            "n_active": jnp.sum(valid, axis=-1),
-        }
 
     out = jax.lax.map(one, (rays, keys))
     return {k: v.reshape((-1,) + v.shape[2:]) for k, v in out.items()}
