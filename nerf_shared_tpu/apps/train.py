@@ -45,6 +45,32 @@ def _models_from_state(state, ccfg, fcfg):
     return coarse, fine
 
 
+def _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine):
+    """Occupancy grid from the current density field (render/occupancy.py),
+    or None when --occ_grid is off."""
+    if getattr(args, "occ_grid", 0) <= 0:
+        return None
+    from nerf_shared_tpu.render.occupancy import (
+        aabb_from_poses,
+        build_occupancy_grid,
+    )
+
+    lo, hi = aabb_from_poses(
+        H, W, K, ds.poses, renderer.cfg.near, renderer.cfg.far
+    )
+    model = fine if fine is not None else coarse
+    grid = build_occupancy_grid(
+        model.params, model.cfg, renderer.cfg, lo, hi,
+        resolution=args.occ_grid,
+        alpha_threshold=args.occ_alpha_thresh,
+    )
+    print(
+        f"Occupancy grid {args.occ_grid}^3: "
+        f"{grid.occupied_fraction():.1%} occupied"
+    )
+    return grid
+
+
 def run(args) -> None:
     if args.render_only:
         render_only(args)
@@ -200,6 +226,11 @@ def train(args):
                 H, W, ds.K, args.chunk, rposes, coarse, fine,
                 retraw=False, save_directory=videodir,
                 b_combine_as_video=True,
+                occ_grid=_build_occ_grid(
+                    args, renderer, ds, H, W, ds.K, coarse, fine
+                ),
+                occ_candidates=args.occ_candidates,
+                occ_keep=args.occ_keep,
             )
             print(f"Saved render-path video to {videodir}")
 
@@ -233,27 +264,7 @@ def render_only(args):
         args.basedir, args.expname, f"renderonly_{suffix}_{start:06d}"
     )
     poses = ds.render_poses[:, :3, :4] if ds.render_poses.ndim == 3 else ds.render_poses
-    occ_grid = None
-    if getattr(args, "occ_grid", 0) > 0:
-        from nerf_shared_tpu.render.occupancy import (
-            aabb_from_poses,
-            build_occupancy_grid,
-        )
-
-        lo, hi = aabb_from_poses(
-            H, W, K, ds.poses, renderer.cfg.near, renderer.cfg.far
-        )
-        model_g = fine if fine is not None else coarse
-        pf, fcfg_g = model_g.params, model_g.cfg
-        occ_grid = build_occupancy_grid(
-            pf, fcfg_g, renderer.cfg, lo, hi,
-            resolution=args.occ_grid,
-            alpha_threshold=args.occ_alpha_thresh,
-        )
-        print(
-            f"Occupancy grid {args.occ_grid}^3: "
-            f"{occ_grid.occupied_fraction():.1%} occupied"
-        )
+    occ_grid = _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine)
     rgbs = renderer.render_from_batch_poses(
         H, W, K, args.chunk, poses, coarse, fine,
         retraw=False, save_directory=outdir, b_combine_as_video=True,

@@ -305,7 +305,9 @@ def _fused_forward_impl(params, cfg: NeRFConfig, x_pad, compute_dtype, tile):
 # public entry with custom VJP (backward = jnp twin rematerialization)
 # ---------------------------------------------------------------------------
 
-TILE = 1024
+# ray-tile sweep on v5e (2.1M-point eval batches): 512 -> 30.5, 1024 -> 36.3,
+# 2048 -> 37.7 Mpts/s; 4096 exceeds the 16M scoped-VMEM stack limit
+TILE = 2048
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))

@@ -270,3 +270,34 @@ def test_e2e_llff_ndc_batching_mode(tmp_path):
     )
     outdir = render_only(args2)
     assert glob.glob(os.path.join(outdir, "*.png"))
+
+
+def test_e2e_occ_grid_render_and_video(tmp_path):
+    """--occ_grid drives both the render_only flow and the i_video training
+    hook: grid built from the trained checkpoint, PNGs + video written."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, i_video=8, N_iters=8,
+        occ_grid=8, occ_candidates=16, occ_keep=8, chunk=256,
+    )
+
+    args = config_parser().parse_args(["--config", cfg_path])
+    run(args)
+    videos = glob.glob(os.path.join(logdir, "tiny_e2e", "video_*", "*.png"))
+    assert videos  # i_video hook rendered through the occupancy grid
+
+    args2 = config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256"]
+    )
+    outdir = render_only(args2)
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert len(pngs) == 2
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
