@@ -1,0 +1,347 @@
+"""Head-to-head training-parity study: the actual PyTorch reference vs this
+framework, same scene, same init, same hyperparameters.
+
+BASELINE.json's parity target ("within 0.1 dB of the PyTorch reference") was
+previously substantiated only by forward-math goldens and checkpoint interop;
+this script substantiates the *training trajectory*: it trains the reference
+(imported from /root/reference, torch CPU) and this framework (JAX) on an
+identical in-memory synthetic blender-style scene, from IDENTICAL initial
+weights (our .tar export loaded into the reference's own models via strict
+load_state_dict), with the loss + LR semantics of reference main.py:85-112
+held fixed, and reports both eval-PSNR curves and the final gap.
+
+Usage: python benchmarks/parity_study.py [--steps 5000] [--eval_every 500]
+Writes benchmarks/parity_log.jsonl and prints one summary JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REFERENCE = "/root/reference"
+
+# scene geometry: two lambertian spheres on white, cameras on a view sphere
+SPHERES = [
+    # (center, radius, albedo)
+    (np.array([0.0, 0.0, 0.0]), 1.1, np.array([0.85, 0.25, 0.2])),
+    (np.array([0.9, 0.7, 0.6]), 0.45, np.array([0.2, 0.45, 0.9])),
+]
+LIGHT = np.array([0.577, 0.577, 0.577])
+NEAR, FAR = 2.0, 6.0
+
+
+def _look_at(eye):
+    """NeRF-convention c2w (camera -z looks at the origin, +y up)."""
+    fwd = eye / np.linalg.norm(eye)              # camera +z points AWAY
+    right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
+    right /= np.linalg.norm(right)
+    up = np.cross(fwd, right)
+    return np.stack([right, up, fwd, eye], axis=1).astype(np.float32)  # [3,4]
+
+
+def _render_gt(c2w, H, W, focal):
+    """Analytic ray-traced ground truth (differentiable nowhere, exact)."""
+    y, x = np.mgrid[:H, :W].astype(np.float32)
+    dirs = np.stack(
+        [(x - W / 2) / focal, -(y - H / 2) / focal, -np.ones_like(x)], -1
+    )
+    rd = dirs @ c2w[:3, :3].T
+    rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = c2w[:3, 3]
+    img = np.ones((H, W, 3), np.float32)
+    depth = np.full((H, W), np.inf, np.float32)
+    for c, r, albedo in SPHERES:
+        oc = ro - c
+        b = np.sum(rd * oc, -1)
+        disc = b * b - (np.sum(oc * oc) - r * r)
+        hit = disc > 0
+        t = -b - np.sqrt(np.maximum(disc, 0.0))
+        hit &= (t > 0) & (t < depth)
+        n = (ro + t[..., None] * rd - c) / r
+        shade = 0.35 + 0.65 * np.clip(n @ LIGHT, 0, 1)
+        img = np.where(hit[..., None], albedo * shade[..., None], img)
+        depth = np.where(hit, t, depth)
+    return img
+
+
+def make_scene(size=64, n_train=12, n_test=2, radius=4.0):
+    poses, images = [], []
+    rng = np.random.default_rng(42)
+    for i in range(n_train + n_test):
+        th = 2 * np.pi * i / (n_train + n_test)
+        phi = np.deg2rad(20.0 + 25.0 * rng.random())
+        eye = radius * np.array(
+            [np.cos(phi) * np.sin(th), np.sin(phi), np.cos(phi) * np.cos(th)]
+        )
+        poses.append(_look_at(eye))
+    focal = size * 1.1
+    for p in poses:
+        images.append(_render_gt(p, size, size, focal))
+    K = np.array([[focal, 0, size / 2], [0, focal, size / 2], [0, 0, 1]],
+                 np.float32)
+    return (np.stack(images), np.stack(poses), K, size, size,
+            list(range(n_train)), list(range(n_train, n_train + n_test)))
+
+
+def make_args(steps, hp):
+    """One namespace drives BOTH frameworks: our parser's flag set is a
+    verified superset of the reference's (flag names/defaults match so the
+    reference's factory functions consume it directly)."""
+    from nerf_shared_tpu.config import config_parser
+
+    args = config_parser().parse_args([
+        "--expname", "parity", "--dataset_type", "blender",
+        "--no_batching",
+        "--netdepth", str(hp["D"]), "--netwidth", str(hp["W"]),
+        "--netdepth_fine", str(hp["D"]), "--netwidth_fine", str(hp["W"]),
+        "--N_rand", str(hp["N_rand"]),
+        "--N_samples", str(hp["N_samples"]),
+        "--N_importance", str(hp["N_importance"]),
+        "--multires", str(hp["multires"]),
+        "--multires_views", str(hp["multires_views"]),
+        "--lrate", str(hp["lrate"]), "--lrate_decay", str(hp["lrate_decay"]),
+        "--precrop_iters", str(hp["precrop_iters"]),
+        "--precrop_frac", "0.5",
+        "--perturb", "1.0", "--raw_noise_std", "0.0",
+        "--white_bkgd", "--use_viewdirs",
+        "--chunk", "8192", "--netchunk", "16384",
+        "--N_iters", str(steps),
+    ])
+    return args
+
+
+def export_init_tar(path, seed, args):
+    """Create our init and write the reference-schema .tar (same weights in
+    both frameworks removes init-distribution noise from the comparison)."""
+    import jax
+
+    from nerf_shared_tpu.factory import nerf_configs
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.utils import checkpoints as ckpt
+
+    ccfg, fcfg = nerf_configs(args)
+    state = create_train_state(jax.random.PRNGKey(seed), ccfg, fcfg,
+                               lrate=args.lrate, lrate_decay=args.lrate_decay)
+    ckpt.save_tar(
+        path, jax.device_get(state.params),
+        ckpt.adam_state_to_flat(jax.device_get(state.opt_state)), 0,
+    )
+    return state, ccfg, fcfg
+
+
+def train_torch(scene, args, init_tar, steps, eval_every, log):
+    """The reference's own training loop, verbatim semantics
+    (reference main.py:67-143: loss = fine MSE + coarse MSE, Adam,
+    lr = lrate * 0.1^(global_step / (lrate_decay*1000)))."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+
+    torch.manual_seed(0)
+    np.random.seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    for name, stub in _reference_stubs(torch).items():
+        sys.modules.setdefault(name, stub)
+    from nerf_shared import utils as rutils
+
+    images, poses, K, H, W, i_train, i_test = scene
+    hwf = [H, W, float(K[0, 0])]
+    coarse, fine = rutils.create_nerf_models(args)
+    ckpt = torch.load(init_tar, map_location="cpu", weights_only=False)
+    coarse.load_state_dict(ckpt["coarse_model_state_dict"], strict=True)
+    fine.load_state_dict(ckpt["fine_model_state_dict"], strict=True)
+    optimizer = rutils.get_optimizer(coarse, fine, args)
+    renderer = rutils.get_renderer(args, {"near": NEAR, "far": FAR})
+
+    imgs_np = images.astype(np.float32)
+    _, poses_t, rays_rgb, use_batching, N_rand, i_batch = (
+        rutils.batch_training_data(args, poses.astype(np.float32), hwf, K,
+                                   imgs_np, i_train)
+    )
+
+    def eval_psnr():
+        renderer.eval()
+        old = renderer.perturb
+        renderer.perturb = 0.0
+        mses = []
+        with torch.no_grad():
+            for ti in i_test:
+                rgb, _, _, _ = renderer.render(
+                    H, W, K, chunk=args.chunk,
+                    c2w=poses_t[ti, :3, :4],
+                    coarse_model=coarse, fine_model=fine, retraw=False,
+                )
+                mses.append(float(np.mean(
+                    (rgb.cpu().numpy() - images[ti]) ** 2)))
+        renderer.perturb = old
+        renderer.train()
+        return -10.0 * np.log10(np.mean(mses))
+
+    t0 = time.perf_counter()
+    global_step = 0
+    for i in range(1, steps + 1):
+        renderer.train()
+        batch_rays, target_s, rays_rgb, i_batch = (
+            rutils.sample_random_ray_batch(
+                args, imgs_np, poses_t, rays_rgb, N_rand, use_batching,
+                i_batch, i_train, hwf, K, 1, i,
+            )
+        )
+        rgb, _, _, extras = renderer.render_from_rays(
+            H, W, K, chunk=args.chunk, rays=batch_rays,
+            coarse_model=coarse, fine_model=fine, retraw=True,
+        )
+        optimizer.zero_grad()
+        img_loss = rutils.img2mse(rgb, target_s)
+        loss = img_loss
+        if "rgb0" in extras:
+            loss = loss + rutils.img2mse(extras["rgb0"], target_s)
+        loss.backward()
+        optimizer.step()
+        new_lrate = args.lrate * (0.1 ** (global_step / (args.lrate_decay * 1000)))
+        for pg in optimizer.param_groups:
+            pg["lr"] = new_lrate
+        global_step += 1
+
+        if i % eval_every == 0 or i == steps:
+            p = float(eval_psnr())
+            rec = {"impl": "torch_reference", "step": i,
+                   "wall_s": round(time.perf_counter() - t0, 2),
+                   "eval_psnr": round(p, 4)}
+            log.write(json.dumps(rec) + "\n")
+            log.flush()
+            print(rec)
+    return p
+
+
+def _reference_stubs(torch):
+    tt = types.ModuleType("torchtyping")
+
+    class _TensorType:
+        def __class_getitem__(cls, item):
+            return torch.Tensor
+
+    tt.TensorType = _TensorType
+    tt.TensorDetail = object
+    tg = types.ModuleType("typeguard")
+    tg.typechecked = lambda f=None, **kw: f if f is not None else (lambda g: g)
+    return {"torchtyping": tt, "typeguard": tg}
+
+
+def train_jax(scene, args, state, ccfg, fcfg, steps, eval_every, log):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_shared_tpu.render.renderer import RenderConfig, Renderer
+    from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+    from nerf_shared_tpu.train.step import make_fused_train_step
+
+    images, poses, K, H, W, i_train, i_test = scene
+    rcfg = RenderConfig(
+        N_samples=args.N_samples, N_importance=args.N_importance,
+        near=NEAR, far=FAR, white_bkgd=args.white_bkgd,
+        use_viewdirs=args.use_viewdirs, perturb=args.perturb,
+        raw_noise_std=args.raw_noise_std,
+    )
+    spec = PixelSamplerSpec.from_K(
+        H, W, K, args.N_rand, single_image=True,
+        precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
+    )
+    step = make_fused_train_step(rcfg, ccfg, fcfg, spec,
+                                 inner_steps=eval_every, donate=False)
+
+    # deterministic eval renderer — same protocol as the torch side
+    eval_renderer = Renderer(
+        perturb=0.0, N_importance=args.N_importance,
+        N_samples=args.N_samples, use_viewdirs=args.use_viewdirs,
+        white_bkgd=args.white_bkgd, raw_noise_std=0.0, near=NEAR, far=FAR,
+    )
+    K_d = jnp.asarray(K)
+
+    def eval_fn(params):
+        mses = []
+        for ti in i_test:
+            rgb, _, _, _ = eval_renderer.render(
+                H, W, K_d, (params["coarse"], ccfg), (params["fine"], fcfg),
+                chunk=args.chunk, c2w=jnp.asarray(poses[ti, :3, :4]),
+                retraw=False,
+            )
+            mses.append(float(jnp.mean(
+                (rgb - jnp.asarray(images[ti])) ** 2)))
+        return -10.0 * float(np.log10(np.mean(mses)))
+
+    images_d = jnp.asarray(images[i_train])
+    poses_d = jnp.asarray(poses[i_train][:, :3, :4])
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    i = 0
+    while i < steps:
+        state, aux = step(state, images_d, poses_d, jax.random.fold_in(key, i))
+        i += eval_every
+        p = eval_fn(state.params)
+        rec = {"impl": "jax_tpu", "step": i,
+               "wall_s": round(time.perf_counter() - t0, 2),
+               "eval_psnr": round(p, 4)}
+        log.write(json.dumps(rec) + "\n")
+        log.flush()
+        print(rec)
+    return p
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=5000)
+    ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--D", type=int, default=4)
+    ap.add_argument("--W", type=int, default=128)
+    ap.add_argument("--N_rand", type=int, default=256)
+    ap.add_argument("--N_samples", type=int, default=32)
+    ap.add_argument("--N_importance", type=int, default=32)
+    ap.add_argument("--lrate_decay", type=int, default=250)
+    ap.add_argument("--precrop_iters", type=int, default=0)
+    ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--log", type=str, default="benchmarks/parity_log.jsonl")
+    a = ap.parse_args()
+
+    hp = dict(D=a.D, W=a.W, N_rand=a.N_rand, N_samples=a.N_samples,
+              N_importance=a.N_importance, multires=10, multires_views=4,
+              lrate=5e-4, lrate_decay=a.lrate_decay,
+              precrop_iters=a.precrop_iters)
+    scene = make_scene(size=a.size)
+    args = make_args(a.steps, hp)
+
+    os.makedirs(".scratch_parity", exist_ok=True)
+    init_tar = ".scratch_parity/init.tar"
+    state, ccfg, fcfg = export_init_tar(init_tar, 0, args)
+
+    log = open(a.log, "w")
+    jax_psnr = train_jax(scene, args, state, ccfg, fcfg, a.steps,
+                         a.eval_every, log)
+    torch_psnr = None
+    if not a.skip_torch and os.path.isdir(REFERENCE):
+        torch_psnr = train_torch(scene, args, init_tar, a.steps,
+                                 a.eval_every, log)
+    log.close()
+
+    summary = {
+        "metric": "parity_eval_psnr",
+        "steps": a.steps,
+        "jax_psnr_db": round(jax_psnr, 3),
+        "torch_reference_psnr_db": (
+            round(torch_psnr, 3) if torch_psnr is not None else None),
+        "gap_db": (round(jax_psnr - torch_psnr, 3)
+                   if torch_psnr is not None else None),
+        "unit": "dB",
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

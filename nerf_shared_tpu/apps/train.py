@@ -87,6 +87,12 @@ def train(args):
         from nerf_shared_tpu.utils.debug import enable_nan_checks
 
         enable_nan_checks(True)
+    if getattr(args, "multihost", False):
+        # multi-host: join the cluster before any device query so
+        # jax.devices() is global; no-op (with a notice) on a single host
+        from nerf_shared_tpu.parallel import distributed
+
+        distributed.initialize()
     ds = load_datasets(args)
     H, W, focal = ds.hwf
     copy_log_dir(args)
@@ -143,6 +149,31 @@ def train(args):
         images_tr = replicate(mesh, images_tr)
         poses_tr = replicate(mesh, poses_tr)
 
+    # in-training occupancy maintenance: with --occ_grid on, every render
+    # hook (i_img/i_testset/i_video) renders through a grid rebuilt from the
+    # CURRENT density field at hook time (render/occupancy.py
+    # OccupancyMaintainer) — train-time eval stops paying dense-render prices
+    occ_maint = None
+    if getattr(args, "occ_grid", 0) > 0 and fcfg is not None:
+        from nerf_shared_tpu.render.occupancy import (
+            OccupancyMaintainer,
+            aabb_from_poses,
+        )
+
+        lo, hi = aabb_from_poses(
+            H, W, ds.K, ds.poses, renderer.cfg.near, renderer.cfg.far
+        )
+        occ_maint = OccupancyMaintainer(
+            renderer.cfg, fcfg, lo, hi,
+            resolution=args.occ_grid,
+            alpha_threshold=args.occ_alpha_thresh,
+        )
+
+    def _occ_for(state, step):
+        if occ_maint is None:
+            return None
+        return occ_maint.get(state.params["fine"], step)
+
     key = jax.random.PRNGKey(args.jax_seed)
     N_iters = args.N_iters + 1
     print(f"Begin: {len(ds.i_train)} train views, {len(ds.i_test)} test views, "
@@ -187,6 +218,9 @@ def train(args):
                 H, W, ds.K, args.chunk, ds.poses[ds.i_test],
                 coarse, fine, retraw=False,
                 save_directory=testsavedir, tb_writer=tb_writer,
+                occ_grid=_occ_for(state, last),
+                occ_candidates=args.occ_candidates,
+                occ_keep=args.occ_keep,
             )
             print(f"Saved test set renders to {testsavedir}")
 
@@ -197,11 +231,20 @@ def train(args):
         if args.i_img > 0 and last % args.i_img == 0 and last > 0 and len(ds.i_val):
             coarse, fine = _models_from_state(state, ccfg, fcfg)
             val_i = int(ds.i_val[(last // args.i_img) % len(ds.i_val)])
-            rgb, _, _, _ = renderer.render_from_pose(
-                H, W, ds.K, args.chunk,
-                jnp.asarray(ds.poses[val_i][:3, :4]), coarse, fine,
-                retraw=False,
-            )
+            occ_g = _occ_for(state, last)
+            if occ_g is not None:
+                rgb, _ = renderer.render_image_occ(
+                    H, W, ds.K, jnp.asarray(ds.poses[val_i][:3, :4]),
+                    fine if fine is not None else coarse, occ_g,
+                    chunk=args.chunk,
+                    n_candidates=args.occ_candidates, n_keep=args.occ_keep,
+                )
+            else:
+                rgb, _, _, _ = renderer.render_from_pose(
+                    H, W, ds.K, args.chunk,
+                    jnp.asarray(ds.poses[val_i][:3, :4]), coarse, fine,
+                    retraw=False,
+                )
             val_mse = float(np.mean((np.asarray(rgb) - ds.images[val_i]) ** 2))
             val_psnr = -10.0 * np.log10(val_mse) if val_mse > 0 else np.inf
             print(f"[VAL] Iter: {last} view {val_i} PSNR: {val_psnr:.3f}")
@@ -226,9 +269,7 @@ def train(args):
                 H, W, ds.K, args.chunk, rposes, coarse, fine,
                 retraw=False, save_directory=videodir,
                 b_combine_as_video=True,
-                occ_grid=_build_occ_grid(
-                    args, renderer, ds, H, W, ds.K, coarse, fine
-                ),
+                occ_grid=_occ_for(state, last),
                 occ_candidates=args.occ_candidates,
                 occ_keep=args.occ_keep,
             )

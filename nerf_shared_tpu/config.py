@@ -252,4 +252,8 @@ def config_parser() -> ConfigArgumentParser:
                         choices=['native', 'tar', 'both'],
                         help='checkpoint format: native .npz, reference-'
                              'compatible .tar, or both')
+    parser.add_argument("--multihost", type=_str2bool, default=False,
+                        help='initialize jax.distributed (coordinator from '
+                             'cluster env vars) and build the mesh over ALL '
+                             "hosts' devices; a no-op on a single host")
     return parser

@@ -203,6 +203,56 @@ def build_occupancy_grid(
     return OccupancyGrid(grid_f > 0.5, aabb_min, aabb_max)
 
 
+class OccupancyMaintainer:
+    """In-training grid maintenance: keeps the occupancy grid consistent
+    with the evolving density field so eval hooks (i_img / i_testset /
+    i_video) render at occ speed DURING training and no post-training build
+    step remains.
+
+    NerfAcc maintains an every-N-steps EMA density grid because its grid
+    gates *training* samples; here the grid's consumers are the render hooks,
+    so the grid is rebuilt lazily — exactly when a hook asks for it at a
+    newer training step — which gives zero staleness at hook time for one
+    ~G³·n_jitter density sweep per hook (a single jitted program, ~0.25 s at
+    128³ on one v5e chip, amortized across every frame the hook renders).
+    Repeated rebuilds reuse the same compiled program (static shapes).
+    """
+
+    def __init__(
+        self,
+        rcfg: RenderConfig,
+        fcfg: NeRFConfig,
+        aabb_min,
+        aabb_max,
+        resolution: int = 128,
+        alpha_threshold: float = 1e-3,
+        min_interval: int = 1,
+    ):
+        self.rcfg = rcfg
+        self.fcfg = fcfg
+        self.aabb_min = jnp.asarray(aabb_min, jnp.float32)
+        self.aabb_max = jnp.asarray(aabb_max, jnp.float32)
+        self.resolution = int(resolution)
+        self.alpha_threshold = float(alpha_threshold)
+        self.min_interval = int(min_interval)
+        self._grid: Optional[OccupancyGrid] = None
+        self._built_at = -(1 << 30)
+
+    def get(self, params_fine, step: int) -> OccupancyGrid:
+        """The grid for training step ``step``, rebuilt from ``params_fine``
+        when stale (same-step calls from multiple hooks share one build)."""
+        if self._grid is None or step - self._built_at >= self.min_interval:
+            self._grid = build_occupancy_grid(
+                params_fine, self.fcfg, self.rcfg,
+                self.aabb_min, self.aabb_max,
+                resolution=self.resolution,
+                alpha_threshold=self.alpha_threshold,
+                key=jax.random.PRNGKey(step),
+            )
+            self._built_at = step
+        return self._grid
+
+
 def aabb_from_poses(H, W, K, poses, near: float, far: float,
                     margin: float = 0.05) -> tuple:
     """Conservative scene AABB: the union of camera frustums lies inside the

@@ -95,16 +95,35 @@ def sample_ray_batch(
     if spec.single_image:
         img_idx = jax.random.randint(k_img, (), 0, n_train)
         # precrop window (active while step < precrop_iters): sample rows in
-        # [H//2 - dH, H//2 + dH), cols likewise (reference utils.py:421-430)
+        # [H//2 - dH, H//2 + dH), cols likewise (reference utils.py:421-430).
+        # Pixels are drawn WITHOUT replacement, matching the reference's
+        # np.random.choice(..., replace=False) at utils.py:435-440: the first
+        # N entries of a per-step keyed Feistel permutation (ops/permute.py)
+        # of the active window are a uniform ordered N-subset. Both candidate
+        # windows have static sizes, so permute both and select by the traced
+        # precrop predicate.
         dH = int(H // 2 * spec.precrop_frac)
         dW = int(W // 2 * spec.precrop_frac)
-        in_precrop = step < spec.precrop_iters
-        row_lo = jnp.where(in_precrop, H // 2 - dH, 0)
-        row_span = jnp.where(in_precrop, 2 * dH, H)
-        col_lo = jnp.where(in_precrop, W // 2 - dW, 0)
-        col_span = jnp.where(in_precrop, 2 * dW, W)
-        y = row_lo + (jax.random.uniform(k_y, (N,)) * row_span).astype(jnp.int32)
-        x = col_lo + (jax.random.uniform(k_x, (N,)) * col_span).astype(jnp.int32)
+        degenerate = dH == 0 or dW == 0  # tiny image: precrop window empty
+        in_precrop = (step < spec.precrop_iters) & jnp.bool_(not degenerate)
+        from nerf_shared_tpu.ops.permute import permute_index
+
+        i = jnp.arange(N, dtype=jnp.int32)
+        total_full = H * W
+        flat_full = permute_index(
+            k_y, i if N <= total_full else i % total_full, total_full
+        )
+        y_full, x_full = flat_full // W, flat_full % W
+        if spec.precrop_iters > 0 and not degenerate:
+            span_h, span_w = 2 * dH, 2 * dW
+            total_pre = span_h * span_w
+            flat_pre = permute_index(
+                k_x, i if N <= total_pre else i % total_pre, total_pre
+            )
+            y = jnp.where(in_precrop, H // 2 - dH + flat_pre // span_w, y_full)
+            x = jnp.where(in_precrop, W // 2 - dW + flat_pre % span_w, x_full)
+        else:
+            y, x = y_full, x_full
         pose = poses[img_idx]
         dirs = _pixel_dirs(x.astype(jnp.float32), y.astype(jnp.float32), spec)
         rays_d = jnp.einsum("nc,rc->nr", dirs, pose[:3, :3])

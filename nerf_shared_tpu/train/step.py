@@ -213,10 +213,12 @@ def make_fused_train_step(
     sharded = mesh is not None
     if sharded:
         n_data = mesh.shape["data"]
-        assert spec.N_rand % n_data == 0, (
-            f"N_rand={spec.N_rand} not divisible by data axis {n_data}"
-        )
-        local_spec = dataclasses_replace_nrand(spec, spec.N_rand // n_data)
+        # Round UP to a whole number of rays per device: a global N_rand not
+        # divisible by the mesh (e.g. lego's 1024 on 3 chips) trains with the
+        # next multiple (1026) rather than crashing — grads are pmean'ed so
+        # the objective is unchanged, the batch is marginally larger.
+        local_n = -(-spec.N_rand // n_data)
+        local_spec = dataclasses_replace_nrand(spec, local_n)
     else:
         local_spec = spec
 

@@ -301,3 +301,33 @@ def test_e2e_occ_grid_render_and_video(tmp_path):
 
     img = np.asarray(imageio.imread(pngs[0]), np.float32)
     assert np.isfinite(img).all()
+
+
+def test_e2e_in_training_occ_maintenance(tmp_path):
+    """With --occ_grid on, the i_img AND i_testset hooks render through a
+    grid maintained from the CURRENT training density (OccupancyMaintainer),
+    updated as training advances — both hook firings must produce finite
+    images with no post-training build step."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, i_testset=8, i_img=8, N_iters=16,
+        i_weights=16, occ_grid=8, occ_candidates=16, occ_keep=8, chunk=256,
+    )
+
+    args = config_parser().parse_args(["--config", cfg_path])
+    run(args)
+
+    expdir = os.path.join(logdir, "tiny_e2e")
+    # the hook fired at steps 8 and 16 -> two testset dirs, each with the
+    # test-split renders (through the occ grid of that step's density)
+    for step in (8, 16):
+        pngs = glob.glob(os.path.join(expdir, f"testset_{step:06d}", "*.png"))
+        assert len(pngs) == 2, f"testset hook missing at step {step}"
+        import imageio.v2 as imageio
+
+        img = np.asarray(imageio.imread(pngs[0]), np.float32)
+        assert np.isfinite(img).all()

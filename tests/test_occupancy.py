@@ -213,6 +213,38 @@ def test_renderer_image_and_batch_pose_api(tmp_path):
     assert (tmp_path / "000.png").exists()
 
 
+def test_maintainer_rebuilds_when_stale():
+    """OccupancyMaintainer: same-step calls share one build; a later step
+    with changed params produces a grid reflecting the NEW density."""
+    import jax
+
+    from nerf_shared_tpu.models.nerf import NeRFConfig, init_nerf_params
+    from nerf_shared_tpu.render.occupancy import OccupancyMaintainer
+    from nerf_shared_tpu.render.renderer import RenderConfig
+
+    cfg = NeRFConfig(D=2, W=16, use_viewdirs=True, multires=2,
+                     multires_views=2, skips=(0,))
+    rcfg = RenderConfig(N_samples=4, N_importance=4, near=2.0, far=6.0,
+                        use_viewdirs=True)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    m = OccupancyMaintainer(rcfg, cfg, [-2, -2, -2], [2, 2, 2], resolution=8,
+                            alpha_threshold=1e-3)
+
+    g0 = m.get(params, 0)
+    assert m.get(params, 0) is g0          # cached within the same step
+
+    # force the density head strongly positive: the new grid must saturate
+    import jax.numpy as jnp
+
+    dense = jax.tree_util.tree_map(lambda x: x, params)
+    dense["alpha_linear"]["b"] = jnp.full_like(
+        dense["alpha_linear"]["b"], 100.0
+    )
+    g1 = m.get(dense, 5)
+    assert g1 is not g0                    # stale -> rebuilt
+    assert g1.occupied_fraction() == 1.0   # built from the NEW params
+
+
 def test_aabb_from_poses_contains_frustum():
     H = W = 16
     K = np.array([[16.0, 0, 8], [0, 16.0, 8], [0, 0, 1]])

@@ -149,6 +149,42 @@ def test_pixel_sampler_precrop():
     assert np.abs(np.asarray(rd2)[:, 0]).max() > 0.5
 
 
+def test_pixel_sampler_single_image_no_duplicates():
+    """Single-image mode draws pixels WITHOUT replacement — the reference's
+    np.random.choice(..., replace=False) semantics (utils.py:435-440) —
+    both inside and after the precrop window."""
+    H = W = 20
+    images = jnp.ones((2, H, W, 3), jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(3, 4, dtype=np.float32)] * 2))
+    spec = PixelSamplerSpec(H=H, W=W, fx=10.0, fy=10.0, cx=10.0, cy=10.0,
+                            N_rand=100, single_image=True,
+                            precrop_iters=10, precrop_frac=0.5)
+    for step_i in (0, 10):  # precrop active / ended
+        for trial in range(5):
+            key = jax.random.fold_in(jax.random.PRNGKey(7), 31 * step_i + trial)
+            _, rd, _ = sample_ray_batch(
+                key, images, poses, jnp.asarray(step_i), spec
+            )
+            # identity pose: recover integer pixel coords from the dirs
+            d = np.asarray(rd)
+            x = np.rint(d[:, 0] * 10.0 + 10.0).astype(int)
+            y = np.rint(-d[:, 1] * 10.0 + 10.0).astype(int)
+            flat = y * W + x
+            assert len(np.unique(flat)) == spec.N_rand, (
+                f"duplicate pixels at step={step_i} trial={trial}"
+            )
+    # precrop window is 10x10 = 100 pixels and N_rand = 100: the precrop
+    # batch must be EXACTLY the full window (strongest WR check)
+    _, rd, _ = sample_ray_batch(
+        jax.random.PRNGKey(3), images, poses, jnp.asarray(0), spec
+    )
+    d = np.asarray(rd)
+    x = np.rint(d[:, 0] * 10.0 + 10.0).astype(int)
+    y = np.rint(-d[:, 1] * 10.0 + 10.0).astype(int)
+    assert set(zip(y, x)) == {(yy, xx) for yy in range(5, 15)
+                              for xx in range(5, 15)}
+
+
 def test_pixel_sampler_batching_mode():
     H = W = 8
     rng = np.random.default_rng(0)
