@@ -94,7 +94,13 @@ def _pad_to(a, rows: int, cols: int, dtype):
 
 
 def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
-    """Pack the param pytree into lane-aligned blocks for the kernel."""
+    """Pack the param pytree into lane-aligned blocks for the kernel.
+
+    ``dtype`` is the matmul-operand dtype for the *weight matrices* only.
+    The encoder tables (F, phase) and every bias stay fp32 regardless: the
+    sinusoid arguments reach |freq·x| ~ 2^10 where bf16's 8-bit mantissa
+    would alias entire periods, and biases add into fp32 accumulators, so
+    keeping them fp32 costs nothing and preserves encoding fidelity."""
     P = cfg.input_ch
     V = cfg.input_ch_views
     EMB = _round_up(P + V, LANE)
@@ -105,7 +111,7 @@ def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
     OUT = LANE
 
     blocks = {}
-    F, phase, id_mask = _encoder_tables(cfg, 8, EMB, dtype)
+    F, phase, id_mask = _encoder_tables(cfg, 8, EMB, jnp.float32)
     blocks["F"] = F
     blocks["phase"] = phase
     blocks["id_mask"] = id_mask
@@ -113,7 +119,7 @@ def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
     # layer 0: EMB -> W (embedding cols beyond P multiply into zero rows)
     l0 = params["pts_linears"][0]
     blocks["W0"] = _pad_to(l0["w"], EMB, Wp, dtype)
-    blocks["b0"] = _pad_to(l0["b"][None, :], 1, Wp, dtype)
+    blocks["b0"] = _pad_to(l0["b"][None, :], 1, Wp, jnp.float32)
 
     # mid layers: stacked [D-1, Wp, Wp] h-part + per-skip embedding part
     mids, bmids, skip_ps = [], [], []
@@ -125,9 +131,11 @@ def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
             skip_ps.append(_pad_to(w[:P], EMB, Wp, dtype))
             w = w[P:]
         mids.append(_pad_to(w, Wp, Wp, dtype))
-        bmids.append(_pad_to(layer["b"][None, :], 1, Wp, dtype))
+        bmids.append(_pad_to(layer["b"][None, :], 1, Wp, jnp.float32))
     blocks["Wmid"] = jnp.stack(mids) if mids else jnp.zeros((0, Wp, Wp), dtype)
-    blocks["bmid"] = jnp.stack(bmids) if bmids else jnp.zeros((0, 1, Wp), dtype)
+    blocks["bmid"] = (
+        jnp.stack(bmids) if bmids else jnp.zeros((0, 1, Wp), jnp.float32)
+    )
     blocks["Wskip"] = (
         jnp.stack(skip_ps) if skip_ps else jnp.zeros((0, EMB, Wp), dtype)
     )
@@ -140,7 +148,7 @@ def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
         br = jnp.asarray(params["rgb_linear"]["b"], dtype)     # [3]
         blocks["Wf"] = _pad_to(params["feature_linear"]["w"], Wp, Wp, dtype)
         blocks["bf"] = _pad_to(
-            params["feature_linear"]["b"][None, :], 1, Wp, dtype
+            params["feature_linear"]["b"][None, :], 1, Wp, jnp.float32
         )
         vl = params["views_linears"][0]
         wv = jnp.asarray(vl["w"], dtype)  # [W + V, VW] (feature rows, dir rows)
@@ -148,18 +156,18 @@ def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
         # dirs occupy embedding cols [P, P+V)
         wv_d = jnp.zeros((EMB, VWp), dtype).at[P : P + V, :VW].set(wv[W:])
         blocks["Wv_d"] = wv_d
-        blocks["bv"] = _pad_to(vl["b"][None, :], 1, VWp, dtype)
+        blocks["bv"] = _pad_to(vl["b"][None, :], 1, VWp, jnp.float32)
         # alpha into col 3 of OUT, rgb into cols 0..2
         blocks["Wout_h"] = jnp.zeros((Wp, OUT), dtype).at[:W, 3:4].set(Wa)
         blocks["Wout_v"] = jnp.zeros((VWp, OUT), dtype).at[:VW, 0:3].set(Wr)
-        bout = jnp.zeros((1, OUT), dtype)
+        bout = jnp.zeros((1, OUT), jnp.float32)
         bout = bout.at[0, 0:3].set(br).at[0, 3].set(ba[0])
         blocks["bout"] = bout
     else:
         wo = jnp.asarray(params["output_linear"]["w"], dtype)
         bo = jnp.asarray(params["output_linear"]["b"], dtype)
         blocks["Wout_h"] = _pad_to(wo, Wp, OUT, dtype)
-        blocks["bout"] = _pad_to(bo[None, :], 1, OUT, dtype)
+        blocks["bout"] = _pad_to(bo[None, :], 1, OUT, jnp.float32)
     return blocks
 
 
@@ -168,11 +176,15 @@ def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(cfg: NeRFConfig, acc_dtype):
+def _make_kernel(cfg: NeRFConfig, compute_dtype):
+    """``compute_dtype`` is the matmul-operand dtype for the trunk/head
+    matmuls; accumulation is always fp32 (preferred_element_type) and the
+    encoder runs fully in fp32 (see pack_params)."""
     n_mid = cfg.D - 1
     skip_positions = [i - 1 for i in range(1, cfg.D) if (i - 1) in cfg.skips]
     has_mid = n_mid > 0
     has_skip = len(skip_positions) > 0
+    acc_dtype = jnp.float32
 
     def kernel(
         x_ref,          # [T, 8]        (pts xyz, dirs xyz, 0, 0)
@@ -194,20 +206,20 @@ def _make_kernel(cfg: NeRFConfig, acc_dtype):
         else:
             (Wout_h_ref, bout_ref, out_ref) = rest
 
-        x = x_ref[:]
+        x = x_ref[:]  # fp32: the encoder needs full-precision sinusoid args
         # --- positional encoding: one matmul + masked sin ---
         z = (
             jnp.dot(x, F_ref[:], preferred_element_type=acc_dtype)
             + phase_ref[:]
         )
-        emb = jnp.where(idmask_ref[:], z, jnp.sin(z)).astype(x.dtype)
+        emb = jnp.where(idmask_ref[:], z, jnp.sin(z)).astype(compute_dtype)
 
         # --- MLP trunk ---
         h = jnp.maximum(
             jnp.dot(emb, W0_ref[:], preferred_element_type=acc_dtype)
             + b0_ref[:],
             0.0,
-        ).astype(x.dtype)
+        ).astype(compute_dtype)
         skip_j = 0
         for j in range(n_mid):
             z = jnp.dot(
@@ -218,19 +230,19 @@ def _make_kernel(cfg: NeRFConfig, acc_dtype):
                     emb, Wskip_ref[skip_j], preferred_element_type=acc_dtype
                 )
                 skip_j += 1
-            h = jnp.maximum(z, 0.0).astype(x.dtype)
+            h = jnp.maximum(z, 0.0).astype(compute_dtype)
 
         if cfg.use_viewdirs:
             feature = (
                 jnp.dot(h, Wf_ref[:], preferred_element_type=acc_dtype)
                 + bf_ref[:]
-            ).astype(x.dtype)
+            ).astype(compute_dtype)
             hv = jnp.maximum(
                 jnp.dot(feature, Wv_f_ref[:], preferred_element_type=acc_dtype)
                 + jnp.dot(emb, Wv_d_ref[:], preferred_element_type=acc_dtype)
                 + bv_ref[:],
                 0.0,
-            ).astype(x.dtype)
+            ).astype(compute_dtype)
             out = (
                 jnp.dot(h, Wout_h_ref[:], preferred_element_type=acc_dtype)
                 + jnp.dot(hv, Wout_v_ref[:], preferred_element_type=acc_dtype)
@@ -285,7 +297,7 @@ def _fused_forward_impl(params, cfg: NeRFConfig, x_pad, compute_dtype, tile):
 
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _make_kernel(cfg, jnp.float32),
+        _make_kernel(cfg, compute_dtype),
         out_shape=jax.ShapeDtypeStruct((n, out_ch), jnp.float32),
         grid=grid,
         in_specs=in_specs,
@@ -297,7 +309,7 @@ def _fused_forward_impl(params, cfg: NeRFConfig, x_pad, compute_dtype, tile):
             transcendentals=n * blocks["F"].shape[1],
         ),
         interpret=interpret,
-    )(x_pad.astype(compute_dtype), *weight_args)
+    )(x_pad.astype(jnp.float32), *weight_args)
     return out
 
 

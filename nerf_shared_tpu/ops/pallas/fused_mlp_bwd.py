@@ -9,8 +9,13 @@ accumulates weight gradients across the grid by revisiting the same output
 blocks — the classic Pallas reduction pattern — so the only HBM traffic is
 the inputs, the cotangent, and the (tiny) parameter gradients.
 
-Gradient accumulation across tiles happens in fp32. Paired with the fused
-forward (fused_mlp.py) through jax.custom_vjp in fused_train_op().
+Gradient accumulation across tiles happens in fp32 regardless of the
+compute dtype: with compute_dtype=bfloat16 the matmul *operands* (remat
+activations, weights, cotangents) are bf16 — feeding the MXU at full rate
+and halving remat VMEM — while every dot still accumulates and every weight
+gradient is summed in fp32 (the standard mixed-precision recipe; bf16's
+fp32-sized exponent needs no loss scaling). Paired with the fused forward
+(fused_mlp.py) through jax.custom_vjp in fused_train_op().
 """
 
 from __future__ import annotations
@@ -51,9 +56,11 @@ def _dot_nt(a, b):
     )
 
 
-def fused_mlp_backward(params, cfg: NeRFConfig, x_pad, g_pad, tile=TILE_BWD):
+def fused_mlp_backward(params, cfg: NeRFConfig, x_pad, g_pad, tile=TILE_BWD,
+                       compute_dtype=jnp.float32):
     """x_pad [N,8], g_pad [N,OUT(8)] -> (dx [N,8], grad blocks dict)."""
-    blocks = pack_params(params, cfg, jnp.float32)
+    compute_dtype = jnp.dtype(compute_dtype)
+    blocks = pack_params(params, cfg, compute_dtype)
     n = x_pad.shape[0]
     grid = (n // tile,)
     P = cfg.input_ch
@@ -65,7 +72,7 @@ def fused_mlp_backward(params, cfg: NeRFConfig, x_pad, g_pad, tile=TILE_BWD):
     n_mid = cfg.D - 1
     n_skip = blocks["Wskip"].shape[0]
 
-    kernel = _make_bwd_kernel_closed(cfg)
+    kernel = _make_bwd_kernel_closed(cfg, compute_dtype)
 
     in_names = ["F", "phase", "id_mask", "W0", "b0"]
     if n_mid:
@@ -166,14 +173,22 @@ def fused_mlp_backward(params, cfg: NeRFConfig, x_pad, g_pad, tile=TILE_BWD):
     return dict(zip(names, outs))
 
 
-def _make_bwd_kernel_closed(cfg: NeRFConfig):
+def _make_bwd_kernel_closed(cfg: NeRFConfig, compute_dtype=jnp.float32):
     """Variant of the kernel where the stacked mid biases come in as the last
-    weight input (cleaner than the closure hack)."""
+    weight input (cleaner than the closure hack).
+
+    ``compute_dtype`` sets the matmul-operand dtype (weights arrive packed in
+    it; remat activations and cotangents are cast to it); accumulation, bias
+    adds, the encoder, and the weight-gradient outputs are always fp32."""
     n_mid = cfg.D - 1
     skip_positions = [i - 1 for i in range(1, cfg.D) if (i - 1) in cfg.skips]
     has_mid = n_mid > 0
     has_skip = len(skip_positions) > 0
     f32 = jnp.float32
+    cdt = compute_dtype
+
+    def _c(t):
+        return t.astype(cdt)
 
     def kernel(x_ref, g_ref, F_ref, phase_ref, idmask_ref, W0_ref, b0_ref,
                *rest):
@@ -209,16 +224,16 @@ def _make_bwd_kernel_closed(cfg: NeRFConfig):
                 if r is not None:
                     r[:] = jnp.zeros_like(r)
 
-        # ---- forward rematerialization ----
+        # ---- forward rematerialization (encoder fp32, trunk in cdt) ----
         x = x_ref[:].astype(f32)
         z_enc = jnp.dot(x, F_ref[:], preferred_element_type=f32) + phase_ref[:]
         idm = idmask_ref[:]
-        emb = jnp.where(idm, z_enc, jnp.sin(z_enc))
+        emb = _c(jnp.where(idm, z_enc, jnp.sin(z_enc)))
 
-        hs = [jnp.maximum(
+        hs = [_c(jnp.maximum(
             jnp.dot(emb, W0_ref[:], preferred_element_type=f32) + b0_ref[:],
             0.0,
-        )]
+        ))]
         skip_j = 0
         for j in range(n_mid):
             z = jnp.dot(hs[-1], Wmid_ref[j], preferred_element_type=f32)
@@ -227,14 +242,14 @@ def _make_bwd_kernel_closed(cfg: NeRFConfig):
                     emb, Wskip_ref[skip_j], preferred_element_type=f32
                 )
                 skip_j += 1
-            hs.append(jnp.maximum(z + bmid_ref[j], 0.0))
+            hs.append(_c(jnp.maximum(z + bmid_ref[j], 0.0)))
 
         h = hs[-1]
-        g = g_ref[:].astype(f32)
-        demb = jnp.zeros_like(emb)
+        g = _c(g_ref[:])
+        demb = jnp.zeros(emb.shape, f32)
 
         if cfg.use_viewdirs:
-            feature = (
+            feature = _c(
                 jnp.dot(h, Wf_ref[:], preferred_element_type=f32) + bf_ref[:]
             )
             hv_pre = (
@@ -242,40 +257,44 @@ def _make_bwd_kernel_closed(cfg: NeRFConfig):
                 + jnp.dot(emb, Wv_d_ref[:], preferred_element_type=f32)
                 + bv_ref[:]
             )
-            hv = jnp.maximum(hv_pre, 0.0)
+            hv = _c(jnp.maximum(hv_pre, 0.0))
 
             dWout_h_ref[:] += _dot_tt(h, g)
             dWout_v_ref[:] += _dot_tt(hv, g)
-            dbout_ref[:] += _rowsum(g)
+            dbout_ref[:] += _rowsum(g.astype(f32))
             dhv = _dot_nt(g, Wout_v_ref[:]) * (hv_pre > 0.0)
-            dWv_f_ref[:] += _dot_tt(feature, dhv)
-            dWv_d_ref[:] += _dot_tt(emb, dhv)
+            dhv_c = _c(dhv)
+            dWv_f_ref[:] += _dot_tt(feature, dhv_c)
+            dWv_d_ref[:] += _dot_tt(emb, dhv_c)
             dbv_ref[:] += _rowsum(dhv)
-            dfeature = _dot_nt(dhv, Wv_f_ref[:])
-            demb = demb + _dot_nt(dhv, Wv_d_ref[:])
-            dWf_ref[:] += _dot_tt(h, dfeature)
+            dfeature = _dot_nt(dhv_c, Wv_f_ref[:])
+            dfeature_c = _c(dfeature)
+            demb = demb + _dot_nt(dhv_c, Wv_d_ref[:])
+            dWf_ref[:] += _dot_tt(h, dfeature_c)
             dbf_ref[:] += _rowsum(dfeature)
-            dh = _dot_nt(g, Wout_h_ref[:]) + _dot_nt(dfeature, Wf_ref[:])
+            dh = _dot_nt(g, Wout_h_ref[:]) + _dot_nt(dfeature_c, Wf_ref[:])
         else:
             dWout_h_ref[:] += _dot_tt(h, g)
-            dbout_ref[:] += _rowsum(g)
+            dbout_ref[:] += _rowsum(g.astype(f32))
             dh = _dot_nt(g, Wout_h_ref[:])
 
         skip_j = len(skip_positions)
         for j in reversed(range(n_mid)):
-            dz = dh * (hs[j + 1] > 0.0)
-            dWmid_ref[j] += _dot_tt(hs[j], dz)
+            dz = dh * (hs[j + 1].astype(f32) > 0.0)  # bf16 cmp unsupported on MXU
+            dz_c = _c(dz)
+            dWmid_ref[j] += _dot_tt(hs[j], dz_c)
             dbmid_ref[j] += _rowsum(dz)
-            dh = _dot_nt(dz, Wmid_ref[j])
+            dh = _dot_nt(dz_c, Wmid_ref[j])
             if j in skip_positions:
                 skip_j -= 1
-                dWskip_ref[skip_j] += _dot_tt(emb, dz)
-                demb = demb + _dot_nt(dz, Wskip_ref[skip_j])
+                dWskip_ref[skip_j] += _dot_tt(emb, dz_c)
+                demb = demb + _dot_nt(dz_c, Wskip_ref[skip_j])
 
-        dz0 = dh * (hs[0] > 0.0)
-        dW0_ref[:] += _dot_tt(emb, dz0)
+        dz0 = dh * (hs[0].astype(f32) > 0.0)
+        dz0_c = _c(dz0)
+        dW0_ref[:] += _dot_tt(emb, dz0_c)
         db0_ref[:] += _rowsum(dz0)
-        demb = demb + _dot_nt(dz0, W0_ref[:])
+        demb = demb + _dot_nt(dz0_c, W0_ref[:])
 
         dz_enc = jnp.where(idm, demb, demb * jnp.cos(z_enc))
         dx_ref[:] = _dot_nt(dz_enc, F_ref[:]).astype(dx_ref.dtype)
@@ -341,18 +360,31 @@ def grads_to_pytree(gb: dict, params, cfg: NeRFConfig):
 # ---------------------------------------------------------------------------
 
 
+def _split_static(static):
+    """Static arg: a bare NeRFConfig (fp32) or a (cfg, dtype_name) tuple."""
+    if isinstance(static, tuple):
+        return static
+    return static, "float32"
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def fused_train_op(cfg: NeRFConfig, params, pts, viewdirs):
-    """Fused forward with a fully fused Pallas backward (fp32)."""
-    return _fused_fwd_only((cfg, "float32"), params, pts, viewdirs)
+def fused_train_op(static, params, pts, viewdirs):
+    """Fused forward with a fully fused Pallas backward. ``static`` is the
+    NeRFConfig, or (NeRFConfig, 'bfloat16') for mixed-precision compute
+    (bf16 matmul operands, fp32 accumulation/encoder/grad sums)."""
+    return _fused_fwd_only(_split_static(static), params, pts, viewdirs)
 
 
-def _ft_fwd(cfg, params, pts, viewdirs):
-    out = _fused_fwd_only((cfg, "float32"), params, pts, viewdirs)
+def _ft_fwd(static, params, pts, viewdirs):
+    out = _fused_fwd_only(_split_static(static), params, pts, viewdirs)
     return out, (params, pts, viewdirs)
 
 
-def _ft_bwd(cfg, residuals, g):
+def _ft_bwd(static, residuals, g):
+    cfg, dtype_name = _split_static(static)
+    compute_dtype = (
+        jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    )
     params, pts, viewdirs = residuals
     shape = pts.shape
     flat_pts = pts.reshape(-1, 3)
@@ -377,7 +409,8 @@ def _ft_bwd(cfg, residuals, g):
         x = jnp.pad(x, ((0, n_pad - n), (0, 0)))
         g_flat = jnp.pad(g_flat, ((0, n_pad - n), (0, 0)))
 
-    gb = fused_mlp_backward(params, cfg, x, g_flat, tile=tile)
+    gb = fused_mlp_backward(params, cfg, x, g_flat, tile=tile,
+                            compute_dtype=compute_dtype)
     dparams = grads_to_pytree(gb, params, cfg)
     dx = gb["dx"][:n]
     dpts = dx[:, :3].reshape(shape)

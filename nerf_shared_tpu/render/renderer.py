@@ -45,7 +45,8 @@ def _apply_model(params, mcfg, pts, viewdirs, rcfg):
     if rcfg.fused_backward:
         from nerf_shared_tpu.ops.pallas.fused_mlp_bwd import fused_train_op
 
-        return fused_train_op(mcfg, params, pts, viewdirs)
+        return fused_train_op((mcfg, jnp.dtype(dtype).name), params, pts,
+                              viewdirs)
     if rcfg.use_pallas:
         from nerf_shared_tpu.ops.pallas.fused_mlp import fused_nerf_forward
 
@@ -107,8 +108,10 @@ class RenderConfig:
     # trades ~1/3 more FLOPs for O(depth) less activation HBM, unlocking
     # much larger ray batches per chip
     remat: bool = False
-    # use the fully fused Pallas forward+backward for training (fp32):
-    # in-kernel rematerialization, zero activation HBM traffic
+    # use the fully fused Pallas forward+backward for training: in-kernel
+    # rematerialization, zero activation HBM traffic. Honors ``precision``:
+    # 'bf16' runs the matmuls with bf16 operands at full MXU rate while the
+    # encoder, accumulation, and gradient sums stay fp32
     fused_backward: bool = False
 
 

@@ -60,6 +60,50 @@ def test_no_skip_grads():
                             use_viewdirs=True, skips=()))
 
 
+def test_bf16_compute_grads_close():
+    """Mixed-precision static ((cfg, 'bfloat16')): bf16 matmul operands with
+    fp32 accumulation/encoder must stay directionally faithful to the fp32
+    grads (bf16 has ~3 decimal digits; tolerances are correspondingly loose,
+    and every gradient tensor's *norm* must agree to ~2%)."""
+    cfg = NeRFConfig(D=4, W=64, multires=6, multires_views=3,
+                     use_viewdirs=True, skips=(1,))
+    params = init_nerf_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(2)
+    pts = jnp.asarray(rng.standard_normal((6, 8, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((6, 3)).astype(np.float32))
+
+    def loss(p, name):
+        return jnp.mean(jnp.tanh(fused_train_op((cfg, name), p, pts, dirs)) ** 2)
+
+    g32 = jax.grad(lambda p: loss(p, "float32"))(params)
+    gbf = jax.grad(lambda p: loss(p, "bfloat16"))(params)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g32)[0],
+        jax.tree_util.tree_flatten_with_path(gbf)[0],
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        na = np.linalg.norm(a)
+        assert np.linalg.norm(b) == pytest.approx(na, rel=2e-2), (
+            jax.tree_util.keystr(path))
+        if na > 0:
+            cos = float(np.sum(a * b) / (na * np.linalg.norm(b)))
+            assert cos > 0.999, (jax.tree_util.keystr(path), cos)
+
+
+def test_bare_cfg_static_back_compat():
+    """fused_train_op accepts a bare NeRFConfig static (fp32) — the original
+    call signature — identically to the explicit (cfg, 'float32') tuple."""
+    cfg = NeRFConfig(D=3, W=64, multires=4, multires_views=2,
+                     use_viewdirs=True, skips=(1,))
+    params = init_nerf_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.standard_normal((4, 5, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.standard_normal((4, 3)).astype(np.float32))
+    a = fused_train_op(cfg, params, pts, dirs)
+    b = fused_train_op((cfg, "float32"), params, pts, dirs)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_forward_value_matches():
     cfg = NeRFConfig(D=4, W=64, multires=6, multires_views=3,
                      use_viewdirs=True, skips=(1,))
