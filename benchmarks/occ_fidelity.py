@@ -1,0 +1,157 @@
+"""Fidelity study for the accelerated render paths on a TRAINED scene.
+
+The occupancy/froxel renderers are exact only when the grid is exact and
+every ray has <= K occupied candidates; this script quantifies the error on
+a real trained density field instead of trusting those assumptions: it
+trains the flagship architecture on the analytic two-sphere scene (the same
+generator the torch-parity study uses), builds a 128³ occupancy grid from
+the trained model, renders a HELD-OUT pose with the dense hierarchical path
+(the oracle — the exact math the reference uses, render_utils.py:105-174),
+and reports PSNR(accelerated vs dense) for each preset of:
+
+  - render_flat_rays_occ  (world-grid triage, render/occupancy.py)
+  - render_image_froxels  (camera-froxel triage, render/froxels.py)
+
+Usage: python benchmarks/occ_fidelity.py [--steps 3000] [--render_size 400]
+Prints one JSON line per preset plus a summary.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.parity_study import NEAR, FAR, make_scene
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.render.froxels import render_image_froxels
+from nerf_shared_tpu.render.occupancy import (
+    aabb_from_poses,
+    build_occupancy_grid,
+    render_flat_rays_occ,
+)
+from nerf_shared_tpu.render.renderer import RenderConfig, Renderer
+from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+from nerf_shared_tpu.train.state import create_train_state
+from nerf_shared_tpu.train.step import make_fused_train_step
+
+
+def psnr(a, b):
+    mse = float(jnp.mean((a - b) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--train_size", type=int, default=96)
+    ap.add_argument("--render_size", type=int, default=400)
+    ap.add_argument("--grid_res", type=int, default=128)
+    ap.add_argument("--alpha_thresh", type=float, default=1e-3)
+    a = ap.parse_args()
+
+    # ---- train the flagship architecture on the analytic scene ----
+    images, poses, K, H, W, i_train, i_test = make_scene(size=a.train_size)
+    cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
+                     multires_views=4, skips=(4,))
+    fused = jax.default_backend() == "tpu"
+    rcfg_train = RenderConfig(
+        N_samples=64, N_importance=128, near=NEAR, far=FAR,
+        use_viewdirs=True, white_bkgd=True, perturb=1.0,
+        fused_backward=fused, use_pallas=fused,
+    )
+    spec = PixelSamplerSpec.from_K(H, W, K, N_rand=1024, single_image=True,
+                                   precrop_iters=0)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
+                               lrate_decay=250)
+    inner = 250
+    step = make_fused_train_step(rcfg_train, cfg, cfg, spec, inner_steps=inner)
+    imgs_d = jnp.asarray(images[i_train])
+    poses_d = jnp.asarray(poses[i_train][:, :3, :4])
+    t0 = time.perf_counter()
+    for i in range(0, a.steps, inner):
+        state, aux = step(state, imgs_d, poses_d,
+                          jax.random.fold_in(jax.random.PRNGKey(1), i))
+    loss = float(aux["loss"])
+    print(f"trained {a.steps} steps in {time.perf_counter()-t0:.1f}s, "
+          f"final loss {loss:.5f} (train PSNR {-10*np.log10(loss):.1f} dB)")
+
+    # ---- held-out pose, scaled intrinsics for the render resolution ----
+    Rs = a.render_size
+    scale = Rs / a.train_size
+    Kr = np.array(K, np.float64).copy()
+    Kr[0, 0] *= scale; Kr[1, 1] *= scale
+    Kr[0, 2] *= scale; Kr[1, 2] *= scale
+    c2w = jnp.asarray(poses[i_test[0]][:3, :4])
+
+    params = jax.device_get(state.params)
+    fine = (params["fine"], cfg)
+    rcfg = RenderConfig(N_samples=64, N_importance=128, near=NEAR, far=FAR,
+                        use_viewdirs=True, white_bkgd=True, perturb=0.0,
+                        use_pallas=fused)
+    renderer = Renderer(N_samples=64, N_importance=128, near=NEAR, far=FAR,
+                        use_viewdirs=True, white_bkgd=True, perturb=0.0,
+                        use_pallas=fused)
+
+    lo, hi = aabb_from_poses(Rs, Rs, Kr, np.asarray(c2w)[None], NEAR, FAR)
+    occ = build_occupancy_grid(
+        params["fine"], cfg, rcfg, jnp.asarray(lo), jnp.asarray(hi),
+        resolution=a.grid_res, alpha_threshold=a.alpha_thresh,
+    )
+    print(f"grid {a.grid_res}³ occupied {occ.occupied_fraction():.2%}, "
+          f"aabb {np.round(np.asarray(lo),2)}..{np.round(np.asarray(hi),2)}")
+
+    def timed(fn, reps=2):
+        r = fn()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn()
+        jax.block_until_ready(r)
+        return r, (time.perf_counter() - t0) / reps
+
+    rgb_dense, t_dense = timed(lambda: renderer.render_from_pose(
+        Rs, Rs, Kr, 32768, c2w, (params["coarse"], cfg), fine,
+        retraw=False)[0])
+    print(json.dumps({"path": "dense 64+128", "s_per_frame": round(t_dense, 4)}))
+
+    rays_flat, _ = renderer._pack_rays(Rs, Rs, Kr, None, c2w, None)
+    results = {}
+    for C, Kp in ((128, 64), (128, 32), (64, 16)):
+        (ret), t = timed(lambda C=C, Kp=Kp: render_flat_rays_occ(
+            rays_flat, fine, occ, rcfg, cfg, chunk=32768,
+            n_candidates=C, n_keep=Kp, gate_rays=False))
+        p = psnr(ret["rgb_map"].reshape(Rs, Rs, 3), rgb_dense)
+        results[f"occ C={C} K={Kp}"] = (p, t)
+        print(json.dumps({"path": f"occ C={C} K={Kp}",
+                          "psnr_vs_dense_db": round(p, 2),
+                          "s_per_frame": round(t, 4)}))
+
+    for C, Kp, corners in ((64, 16, False), (64, 16, True), (128, 8, False),
+                           (128, 16, False), (64, 32, False)):
+        (ret), t = timed(lambda C=C, Kp=Kp, co=corners: render_image_froxels(
+            fine, occ, rcfg, Rs, Rs, Kr, c2w, n_depth=C, n_keep=Kp,
+            corner_rays=co))
+        p = psnr(ret["rgb_map"], rgb_dense)
+        name = f"froxel C={C} K={Kp}{' corners' if corners else ''}"
+        results[name] = (p, t)
+        print(json.dumps({"path": name, "psnr_vs_dense_db": round(p, 2),
+                          "s_per_frame": round(t, 4)}))
+
+    best = {k: v for k, v in results.items() if v[0] >= 30.0}
+    print(json.dumps({
+        "metric": "occ_fidelity",
+        "dense_s_per_frame": round(t_dense, 4),
+        "presets_ge_30db": {k: {"psnr": round(v[0], 2),
+                                "s_per_frame": round(v[1], 4)}
+                            for k, v in best.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

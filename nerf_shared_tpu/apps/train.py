@@ -221,6 +221,8 @@ def train(args):
                 occ_grid=_occ_for(state, last),
                 occ_candidates=args.occ_candidates,
                 occ_keep=args.occ_keep,
+                occ_mode=args.occ_mode,
+                occ_tile=args.occ_tile,
             )
             print(f"Saved test set renders to {testsavedir}")
 
@@ -238,6 +240,7 @@ def train(args):
                     fine if fine is not None else coarse, occ_g,
                     chunk=args.chunk,
                     n_candidates=args.occ_candidates, n_keep=args.occ_keep,
+                    mode=args.occ_mode, tile=args.occ_tile,
                 )
             else:
                 rgb, _, _, _ = renderer.render_from_pose(
@@ -272,6 +275,8 @@ def train(args):
                 occ_grid=_occ_for(state, last),
                 occ_candidates=args.occ_candidates,
                 occ_keep=args.occ_keep,
+                occ_mode=args.occ_mode,
+                occ_tile=args.occ_tile,
             )
             print(f"Saved render-path video to {videodir}")
 
@@ -313,6 +318,8 @@ def render_only(args):
         occ_grid=occ_grid,
         occ_candidates=getattr(args, "occ_candidates", 128),
         occ_keep=getattr(args, "occ_keep", 64),
+        occ_mode=getattr(args, "occ_mode", "froxel"),
+        occ_tile=getattr(args, "occ_tile", 8),
     )
     print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
     return outdir

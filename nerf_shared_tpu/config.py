@@ -236,6 +236,16 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--occ_keep", type=int, default=64,
                         help='network evaluations per ray: the nearest '
                              'occupied candidates kept after grid triage')
+    parser.add_argument("--occ_mode", type=str, default='froxel',
+                        choices=['froxel', 'grid'],
+                        help='occupancy triage for pose renders: froxel = '
+                             'per-frame camera-frustum resampling (gather-'
+                             'free per-ray path, fastest); grid = per-'
+                             'candidate world-grid lookups')
+    parser.add_argument("--occ_tile", type=int, default=8,
+                        help='froxel pixel-tile size: rays in a tile share '
+                             'one frustum-voxel column and one top-K bin '
+                             'selection')
     parser.add_argument("--fused_backward", type=_str2bool, default=False,
                         help='train with the fully fused Pallas forward+'
                              'backward kernel (fp32, in-kernel remat; '

@@ -1,0 +1,333 @@
+"""Camera-froxel occupancy: gather-free empty-space skipping for pose renders.
+
+The world-grid triage (render/occupancy.py) pays one table gather per
+candidate depth — ~41M gathers per 800p frame at C=64, measured
+descriptor-bound at ~2 ns/row on v5e (~82 ms/frame; row width is irrelevant,
+so neither bit-packing nor a Pallas kernel buys it back: the TPU has no
+hardware gather). This module removes the per-ray gathers entirely by
+exploiting the one property every pose render shares: a single camera origin.
+
+The occupancy grid is resampled ONCE per frame into camera frustum voxels
+("froxels"): a [ceil(H/tile), ceil(W/tile), C] boolean over (pixel tile,
+depth bin), where the depth bins are EXACTLY the stratified-sampling strata
+of ops/sampling.sample_along_rays — so a ray's candidate c lies in bin c by
+construction, and per-candidate occupancy for any ray is a broadcast of its
+tile's bit row. The selection of the K nearest occupied bins then also runs
+per TILE (tile² fewer sorts than per-ray), and each ray only draws its
+stratified jitter inside the tile's selected bins. Per 800p frame at
+tile=8/C=64 that is ~0.7M grid lookups (64x fewer) + one [Ht*Wt, C] sort;
+per-ray work collapses to the K MLP points and the compositing scan.
+
+Conservativeness: a froxel is marked occupied if any of its depth probes
+(3 per bin by default: both stratum edges and the center, along the tile
+center ray) hits an occupied world cell, then the froxel tensor is dilated
+by ``dilate`` froxels in all three axes (3³ max-pool). With the default
+800p/tile=8 geometry a froxel's world extent is ~1.3 world-grid cells, so
+one dilation step covers the probe lattice's gaps against a world grid that
+build_occupancy_grid has itself conservatively dilated. This is an
+empirical guarantee, not a proof — validate presets with
+benchmarks/occ_fidelity.py on a trained scene.
+
+No reference counterpart (the reference renders every sample densely,
+render_utils.py:105-174); the froxel idea is the rasterizer froxel-culling
+classic applied to NeRF sampling, redesigned here around TPU strengths
+(broadcasts and reductions instead of random access).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.render.occupancy import OccupancyGrid, lookup
+from nerf_shared_tpu.render.renderer import (
+    RenderConfig,
+    _apply_model,
+    _composite,
+    _model_parts,
+)
+
+
+class FroxelGrid(NamedTuple):
+    """Per-frame frustum occupancy. ``bits[ty, tx, c]`` is True iff depth
+    bin c of pixel tile (ty, tx) may intersect occupied space. ``lower`` /
+    ``upper`` are the [C] stratum edges in ray-parameter t (the same strata
+    sample_along_rays jitters inside)."""
+
+    bits: jnp.ndarray    # [Ht, Wt, C] bool
+    lower: jnp.ndarray   # [C] float32
+    upper: jnp.ndarray   # [C] float32
+    z0: jnp.ndarray      # [C] float32 — the stratum's deterministic
+                         # (perturb=0) sample depth, i.e. the linspace point
+                         # sample_along_rays returns without jitter
+
+
+def _strata(near: float, far: float, n_depth: int, lindisp: bool):
+    """The stratified-sampling bins of sample_along_rays: sample c is jittered
+    inside [lower[c], upper[c]] around the linspace point z[c]."""
+    t = np.linspace(0.0, 1.0, n_depth, dtype=np.float64)
+    if lindisp:
+        z = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    else:
+        z = near * (1.0 - t) + far * t
+    mids = 0.5 * (z[1:] + z[:-1])
+    lower = np.concatenate([z[:1], mids])
+    upper = np.concatenate([mids, z[-1:]])
+    return (
+        jnp.asarray(lower, jnp.float32),
+        jnp.asarray(upper, jnp.float32),
+        jnp.asarray(z, jnp.float32),
+    )
+
+
+def _tile_dirs(H: int, W: int, K, c2w, tile: int, offsets):
+    """Camera-frame ray dirs at fractional pixel coords (ty*tile + oy,
+    tx*tile + ox) for each (oy, ox) in ``offsets`` — the same pinhole
+    convention as ops/rays.get_rays (x right, y up, looking down -z)."""
+    K = jnp.asarray(K)
+    c2w = jnp.asarray(c2w)
+    Ht = -(-H // tile)
+    Wt = -(-W // tile)
+    ty = jnp.arange(Ht, dtype=jnp.float32) * tile
+    tx = jnp.arange(Wt, dtype=jnp.float32) * tile
+    ds = []
+    for oy, ox in offsets:
+        i, j = jnp.meshgrid(tx + ox, ty + oy, indexing="xy")
+        dirs = jnp.stack(
+            [(i - K[0, 2]) / K[0, 0], -(j - K[1, 2]) / K[1, 1],
+             -jnp.ones_like(i)],
+            axis=-1,
+        )
+        ds.append(jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3]))
+    return jnp.stack(ds), c2w[:3, -1]  # [P, Ht, Wt, 3], [3]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "near", "far", "tile", "n_depth", "lindisp",
+                     "dilate", "dilate_z", "corner_rays"),
+)
+def build_froxels(
+    occ: OccupancyGrid,
+    H: int,
+    W: int,
+    K,
+    c2w,
+    near: float,
+    far: float,
+    n_depth: int = 64,
+    tile: int = 8,
+    lindisp: bool = False,
+    dilate: int = 1,
+    dilate_z: int = 0,
+    corner_rays: bool = False,
+) -> FroxelGrid:
+    """Resample the world occupancy grid into camera froxels for one pose.
+
+    Probes per froxel: the tile-center ray (plus the four tile-corner rays
+    when ``corner_rays``) evaluated at each stratum's lower edge, center,
+    and upper edge; OR-reduced, then dilated ``dilate`` steps in the tile
+    plane (covering the probe lattice's gaps between neighboring tile rays).
+    Depth needs no dilation by default (``dilate_z=0``): every stratum is
+    already probed at both edges, and extra depth dilation inflates the
+    marked-bin count per column, pushing true surface bins past a small
+    n_keep (measured: froxel C=128 K=8 drops from ~38 dB to ~10 dB with
+    depth dilation on). One jitted program, reused across frames of the
+    same geometry (static shapes).
+    """
+    lower, upper, z0 = _strata(float(near), float(far), n_depth, lindisp)
+    c = (tile - 1) / 2.0
+    offsets = [(c, c)]
+    if corner_rays:
+        offsets += [(0.0, 0.0), (0.0, tile - 1.0), (tile - 1.0, 0.0),
+                    (tile - 1.0, tile - 1.0)]
+    dirs, origin = _tile_dirs(H, W, K, c2w, tile, offsets)  # [P, Ht, Wt, 3]
+
+    zs = jnp.stack([lower, z0, upper])  # [3, C] — probe both edges + center
+    # pts [P, 3, Ht, Wt, C, 3]
+    pts = (
+        origin
+        + dirs[:, None, :, :, None, :] * zs[None, :, None, None, :, None]
+    )
+    bits = jnp.any(lookup(occ, pts), axis=(0, 1))  # [Ht, Wt, C]
+
+    if dilate > 0 or dilate_z > 0:
+        f = bits.astype(jnp.float32)
+        for _ in range(max(dilate, dilate_z)):
+            wy = 3 if dilate > 0 else 1
+            wz = 3 if dilate_z > 0 else 1
+            f = jax.lax.reduce_window(
+                f, -jnp.inf, jax.lax.max,
+                window_dimensions=(wy, wy, wz), window_strides=(1, 1, 1),
+                padding="SAME",
+            )
+            dilate -= 1
+            dilate_z -= 1
+        bits = f > 0.5
+    return FroxelGrid(bits, lower, upper, z0)
+
+
+def _select_bins(bits: jnp.ndarray, n_keep: int):
+    """Per tile, the indices of the K nearest occupied depth bins.
+
+    bits [T, C] -> (idx [T, K] int32 clipped to C-1, valid [T, K] bool).
+    Depth bins are ascending, so "nearest occupied" is "first occupied":
+    one ascending sort of masked iota keys — no gather, lane-dim sort only.
+    """
+    C = bits.shape[-1]
+    iota = jax.lax.iota(jnp.int32, C)
+    keys = jnp.where(bits, iota, jnp.int32(2 * C))
+    sel = jnp.sort(keys, axis=-1)[:, :n_keep]
+    valid = sel < C
+    return jnp.minimum(sel, C - 1), valid
+
+
+def _broadcast_tiles(x: jnp.ndarray, H: int, W: int, tile: int):
+    """[Ht, Wt, ...] -> [H, W, ...] by tile replication (crop at the edge)."""
+    x = jnp.repeat(jnp.repeat(x, tile, axis=0), tile, axis=1)
+    return x[:H, :W]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rcfg", "fcfg", "H", "W", "tile", "n_keep", "block"),
+)
+def _froxel_render_blocks(
+    params_fine,
+    fro: FroxelGrid,
+    rcfg: RenderConfig,
+    fcfg: NeRFConfig,
+    H: int,
+    W: int,
+    K,
+    c2w,
+    key,
+    tile: int,
+    n_keep: int,
+    block: int,
+):
+    from nerf_shared_tpu.ops.rays import get_rays
+
+    rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
+    viewdirs = None
+    if rcfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        viewdirs = viewdirs.reshape(-1, 3)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+
+    # tile-level selection, broadcast to rays
+    Ht, Wt, C = fro.bits.shape
+    idx, valid = _select_bins(fro.bits.reshape(-1, C), n_keep)
+    if rcfg.perturb > 0.0:
+        z_lo = jnp.take(fro.lower, idx, axis=0)  # [T, K] — tiny-table gather
+        z_hi = jnp.take(fro.upper, idx, axis=0)
+    else:
+        # deterministic eval: the stratum's canonical linspace depth, so the
+        # all-occupied/K=C case degenerates to the dense coarse pass exactly
+        z_lo = z_hi = jnp.take(fro.z0, idx, axis=0)
+    z_lo = _broadcast_tiles(z_lo.reshape(Ht, Wt, n_keep), H, W, tile)
+    z_hi = _broadcast_tiles(z_hi.reshape(Ht, Wt, n_keep), H, W, tile)
+    valid = _broadcast_tiles(valid.reshape(Ht, Wt, n_keep), H, W, tile)
+    z_lo = z_lo.reshape(-1, n_keep)
+    z_hi = z_hi.reshape(-1, n_keep)
+    valid = valid.reshape(-1, n_keep)
+
+    n = H * W
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+
+    def _blocked(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0
+            )
+        return a.reshape((n_blocks, block) + a.shape[1:])
+
+    parts = [rays_o, rays_d, z_lo, z_hi, valid]
+    if viewdirs is not None:
+        parts.append(viewdirs)
+    blocked = [_blocked(a) for a in parts]
+    keys = jax.random.split(key, n_blocks)
+
+    far = jnp.float32(rcfg.far)
+
+    def one(args):
+        if viewdirs is not None:
+            (ro, rd, lo, hi, va, vd), k = args[:-1], args[-1]
+        else:
+            (ro, rd, lo, hi, va), k = args[:-1], args[-1]
+            vd = None
+        k_strat, k_noise = jax.random.split(k)
+        if rcfg.perturb > 0.0:
+            u = jax.random.uniform(k_strat, lo.shape)
+        else:
+            u = 0.5
+        z = lo + (hi - lo) * u
+        z = jnp.where(va, z, far)   # padded slots composite to nothing
+        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+        raw = _apply_model(params_fine, fcfg, pts, vd, rcfg)
+        sigma = jnp.where(va, raw[..., 3], -1e10)
+        raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
+        rgb, disp, acc, _, _ = _composite(raw, z, rd, rcfg, k_noise, None)
+        return {
+            "rgb_map": rgb, "disp_map": disp, "acc_map": acc,
+            "n_active": jnp.sum(va, axis=-1),
+        }
+
+    out = jax.lax.map(one, tuple(blocked) + (keys,))
+    out = {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
+    return {
+        k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()
+    }
+
+
+def render_image_froxels(
+    fine_model,                  # NeRF wrapper or (params, cfg)
+    occ: OccupancyGrid,
+    rcfg: RenderConfig,
+    H: int,
+    W: int,
+    K,
+    c2w,
+    fcfg: Optional[NeRFConfig] = None,
+    key: Optional[jax.Array] = None,
+    n_depth: int = 64,
+    n_keep: int = 16,
+    tile: int = 8,
+    dilate: int = 1,
+    dilate_z: int = 0,
+    corner_rays: bool = False,
+    chunk: int = 1024 * 64,
+    froxels: Optional[FroxelGrid] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Render one pose with froxel-gated sampling: build (or reuse) the
+    frame's FroxelGrid, select the K nearest occupied depth bins per pixel
+    tile, and evaluate the network only at one stratified sample inside each
+    selected bin. Returns [H, W, ...] maps (rgb/disp/acc/n_active).
+
+    Equivalent to render_flat_rays_occ with C=n_depth, K=n_keep up to the
+    froxel discretization (see module docstring); ~2x faster at K<=16
+    because triage is amortized over tile² rays.
+    """
+    pf, fcfg_m = _model_parts(fine_model)
+    fcfg = fcfg if fcfg is not None else fcfg_m
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if froxels is None:
+        froxels = build_froxels(
+            occ, H, W, K, c2w, float(rcfg.near), float(rcfg.far),
+            n_depth=n_depth,
+            tile=tile, lindisp=rcfg.lindisp, dilate=dilate,
+            dilate_z=dilate_z, corner_rays=corner_rays,
+        )
+    block = min(chunk, H * W)
+    return _froxel_render_blocks(
+        pf, froxels, rcfg, fcfg, H, W, jnp.asarray(np.asarray(K)),
+        jnp.asarray(c2w), key, tile, n_keep, block,
+    )

@@ -463,15 +463,32 @@ class Renderer:
         self, H, W, K, c2w, fine_model, occ_grid,
         chunk: int = 1024 * 32, key: Optional[jax.Array] = None,
         n_candidates: int = 128, n_keep: int = 64, select: str = "sort",
-        gate_rays: bool = False,
+        gate_rays: bool = False, mode: str = "froxel", tile: int = 8,
     ):
-        """Full-image render through an occupancy grid (render/occupancy.py):
-        only the n_keep nearest grid-occupied candidate depths per ray reach
-        the network; ``gate_rays`` additionally compacts away rays that hit
-        no occupied cell at all. Returns (rgb [H,W,3], extras dict)."""
+        """Full-image render through an occupancy grid: only the n_keep
+        nearest grid-occupied candidate depths per ray reach the network.
+
+        ``mode``:
+        - 'froxel' (default): camera-froxel triage (render/froxels.py) —
+          the grid is resampled once per frame into frustum voxels, so the
+          per-ray path has zero gathers; fastest for pose renders.
+        - 'grid': per-candidate world-grid lookups (render/occupancy.py);
+          works for arbitrary ray batches and is the semantics anchor.
+          ``gate_rays`` additionally compacts away rays that hit no
+          occupied cell.
+        Returns (rgb [H,W,3], extras dict)."""
+        pf, fcfg = _model_parts(fine_model)
+        if mode == "froxel":
+            from nerf_shared_tpu.render.froxels import render_image_froxels
+
+            out = render_image_froxels(
+                (pf, fcfg), occ_grid, self.cfg, H, W, K, jnp.asarray(c2w),
+                key=key, n_depth=n_candidates, n_keep=n_keep, tile=tile,
+                chunk=chunk,
+            )
+            return out["rgb_map"], out
         from nerf_shared_tpu.render.occupancy import render_flat_rays_occ
 
-        pf, fcfg = _model_parts(fine_model)
         rays_flat, sh = self._pack_rays(H, W, K, None, c2w, None)
         ret = render_flat_rays_occ(
             rays_flat, (pf, fcfg), occ_grid, self.cfg, fcfg, chunk=chunk,
@@ -501,6 +518,8 @@ class Renderer:
         occ_grid=None,
         occ_candidates: int = 128,
         occ_keep: int = 64,
+        occ_mode: str = "froxel",
+        occ_tile: int = 8,
     ):
         """Render poses to PNGs (+ optional mp4 / TensorBoard), reference
         render_utils.py:293-319. Rendering is done in eval mode with
@@ -527,6 +546,7 @@ class Renderer:
                     fine_model if fine_model is not None else coarse_model,
                     occ_grid, chunk=chunk, key=key,
                     n_candidates=occ_candidates, n_keep=occ_keep,
+                    mode=occ_mode, tile=occ_tile,
                 )
             elif gate_threshold > 0.0:
                 rgb, _ = eval_renderer.render_image_gated(

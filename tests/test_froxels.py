@@ -1,0 +1,186 @@
+"""Camera-froxel renderer (render/froxels.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRF, NeRFConfig
+from nerf_shared_tpu.ops.sampling import sample_along_rays
+from nerf_shared_tpu.render import froxels as F
+from nerf_shared_tpu.render.occupancy import OccupancyGrid
+from nerf_shared_tpu.render.renderer import RenderConfig, Renderer, render_rays
+
+
+def _model():
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    return NeRF.create(jax.random.PRNGKey(0), cfg), cfg
+
+
+def _rcfg(**kw):
+    base = dict(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                perturb=0.0, white_bkgd=True)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def _cam(H=16, W=16):
+    K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]])
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+    return K, jnp.asarray(c2w)
+
+
+def _full_grid(val=True):
+    return OccupancyGrid(jnp.full((4, 4, 4), val, bool),
+                         jnp.array([-99.0, -99, -99]),
+                         jnp.array([99.0, 99, 99]))
+
+
+def test_strata_contain_stratified_samples():
+    """Every jittered sample c from sample_along_rays lies in froxel bin c,
+    and the deterministic (perturb=0) sample is exactly z0 — the mapping
+    the whole design rests on."""
+    for lindisp in (False, True):
+        lower, upper, z0 = F._strata(2.0, 6.0, 16, lindisp)
+        near = jnp.full((32, 1), 2.0)
+        far = jnp.full((32, 1), 6.0)
+        z = sample_along_rays(jax.random.PRNGKey(0), near, far, 16,
+                              lindisp=lindisp, perturb=1.0)
+        assert (np.asarray(z) >= np.asarray(lower) - 1e-6).all()
+        assert (np.asarray(z) <= np.asarray(upper) + 1e-6).all()
+        z_det = sample_along_rays(None, near, far, 16, lindisp=lindisp,
+                                  perturb=0.0)
+        np.testing.assert_allclose(np.asarray(z_det[0]), np.asarray(z0),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_all_occupied_equals_dense_coarse():
+    """Full grid + K == C + perturb=0 degenerates to the dense coarse-only
+    render at identical sample depths (the same oracle the world-grid path
+    satisfies, test_occupancy.py::test_all_occupied_equals_dense_uniform)."""
+    model, cfg = _model()
+    rcfg = _rcfg()
+    H = W = 16
+    K, c2w = _cam(H, W)
+    out = F.render_image_froxels(
+        model, _full_grid(), rcfg, H, W, K, c2w, n_depth=12, n_keep=12,
+        tile=4, dilate=0,
+    )
+    renderer = Renderer(**{
+        "N_samples": 12, "N_importance": 0, "near": 2.0, "far": 6.0,
+        "perturb": 0.0, "white_bkgd": True,
+    })
+    rays_flat, _ = renderer._pack_rays(H, W, K, None, c2w, None)
+    dense = render_rays(
+        model.params, None, rays_flat, jax.random.PRNGKey(0),
+        _rcfg(N_samples=12, N_importance=0), cfg, None,
+    )
+    assert (np.asarray(out["n_active"]) == 12).all()
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]).reshape(np.asarray(dense[k]).shape),
+            np.asarray(dense[k]), rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
+def test_empty_grid_renders_background():
+    model, cfg = _model()
+    H = W = 12
+    K, c2w = _cam(H, W)
+    out = F.render_image_froxels(
+        model, _full_grid(False), _rcfg(), H, W, K, c2w, n_depth=8,
+        n_keep=4, tile=4, dilate=0,
+    )
+    assert (np.asarray(out["n_active"]) == 0).all()
+    np.testing.assert_allclose(np.asarray(out["rgb_map"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["acc_map"]), 0.0)
+
+
+def test_tile_size_invariant_when_fully_occupied():
+    """With a uniform grid the tile partition must not change the image:
+    tiling only shares *selection*, and full occupancy selects everything."""
+    model, cfg = _model()
+    H = W = 16
+    K, c2w = _cam(H, W)
+    outs = [
+        F.render_image_froxels(model, _full_grid(), _rcfg(), H, W, K, c2w,
+                               n_depth=8, n_keep=8, tile=t, dilate=0)
+        for t in (1, 4, 8)
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(outs[0]["rgb_map"]),
+                                   np.asarray(o["rgb_map"]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_single_cell_geometry():
+    """One occupied cell in front of the camera center: central rays must
+    select bins, edge rays must render pure background. Geometry respects
+    the froxel fidelity envelope (tile footprint <= world-cell size): tile=2
+    at focal 40 spans ~0.2 world units at depth 4, vs 0.25-unit cells."""
+    model, cfg = _model()
+    H = W = 32
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    c2w = np.eye(4, dtype=np.float32)[:3]
+    c2w[2, 3] = 4.0
+    c2w = jnp.asarray(c2w)
+    grid = jnp.zeros((8, 8, 8), bool).at[4, 4, 4].set(True)
+    # camera at z=4 looking down -z; cell [4,4,4] of [-1,1]³ touches the origin
+    occ = OccupancyGrid(grid, jnp.array([-1.0, -1, -1]), jnp.array([1.0, 1, 1]))
+    out = F.render_image_froxels(
+        model, occ, _rcfg(), H, W, K, c2w, n_depth=32, n_keep=4, tile=2,
+        dilate=1,
+    )
+    n_active = np.asarray(out["n_active"])
+    assert n_active[H // 2, W // 2] > 0
+    assert n_active[0, 0] == 0 and n_active[-1, -1] == 0
+    np.testing.assert_allclose(np.asarray(out["rgb_map"])[0, 0], 1.0)
+
+
+def test_froxels_conservative_vs_center_ray_lookup():
+    """A froxel column's bits must cover every occupied cell its center ray's
+    deterministic candidates see (the lookup the world-grid path performs)."""
+    from nerf_shared_tpu.render.occupancy import lookup
+
+    rng = np.random.default_rng(3)
+    grid = jnp.asarray(rng.random((16, 16, 16)) < 0.15)
+    occ = OccupancyGrid(grid, jnp.array([-1.5, -1.5, -1.5]),
+                        jnp.array([1.5, 1.5, 1.5]))
+    H = W = 16
+    K, c2w = _cam(H, W)
+    tile, C = 4, 24
+    fro = F.build_froxels(occ, H, W, K, c2w, 2.0, 6.0, n_depth=C, tile=tile,
+                          dilate=1)
+    # center ray of each tile, candidates at the deterministic depths
+    offs = (tile - 1) / 2.0
+    dirs, origin = F._tile_dirs(H, W, K, c2w, tile, [(offs, offs)])
+    pts = origin + dirs[0][:, :, None, :] * fro.z0[None, None, :, None]
+    hit = np.asarray(lookup(occ, pts))         # [Ht, Wt, C]
+    bits = np.asarray(fro.bits)
+    assert hit.any()
+    assert bits[hit].all()
+
+
+def test_renderer_froxel_mode_and_batch_poses(tmp_path):
+    """Renderer.render_image_occ(mode='froxel') and the batch-pose writer
+    with occ_mode='froxel' (the i_testset/i_video hook path)."""
+    model, cfg = _model()
+    H = W = 12
+    K, c2w = _cam(H, W)
+    renderer = Renderer(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=0.0, white_bkgd=True)
+    rgb, extras = renderer.render_image_occ(
+        H, W, K, c2w, model, _full_grid(), chunk=64, n_candidates=8,
+        n_keep=4, mode="froxel", tile=4,
+    )
+    assert rgb.shape == (H, W, 3)
+    assert np.isfinite(np.asarray(rgb)).all()
+
+    poses = np.stack([np.asarray(c2w)] * 2)
+    rgbs = renderer.render_from_batch_poses(
+        H, W, K, 64, poses, model, model, retraw=False,
+        save_directory=str(tmp_path), occ_grid=_full_grid(),
+        occ_candidates=8, occ_keep=4, occ_mode="froxel", occ_tile=4,
+    )
+    assert rgbs.shape == (2, H, W, 3)
+    assert (tmp_path / "000.png").exists()
