@@ -193,6 +193,92 @@ def _broadcast_tiles(x: jnp.ndarray, H: int, W: int, tile: int):
     return x[:H, :W]
 
 
+def _ray_inputs(rcfg: RenderConfig, H: int, W: int, K, c2w):
+    """Flat per-ray tensors for one pose: origins, dirs, (viewdirs)."""
+    from nerf_shared_tpu.ops.rays import get_rays
+
+    rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
+    viewdirs = None
+    if rcfg.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        viewdirs = viewdirs.reshape(-1, 3)
+    return rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), viewdirs
+
+
+def _selection_maps(fro: FroxelGrid, rcfg: RenderConfig, H: int, W: int,
+                    tile: int, n_keep: int):
+    """Tile-level top-K bin selection broadcast to flat per-ray maps:
+    (z_lo [HW, K], z_hi [HW, K], valid [HW, K])."""
+    Ht, Wt, C = fro.bits.shape
+    idx, valid = _select_bins(fro.bits.reshape(-1, C), n_keep)
+    if rcfg.perturb > 0.0:
+        z_lo = jnp.take(fro.lower, idx, axis=0)  # [T, K] — tiny-table gather
+        z_hi = jnp.take(fro.upper, idx, axis=0)
+    else:
+        # deterministic eval: the stratum's canonical linspace depth, so the
+        # all-occupied/K=C case degenerates to the dense coarse pass exactly
+        z_lo = z_hi = jnp.take(fro.z0, idx, axis=0)
+    z_lo = _broadcast_tiles(z_lo.reshape(Ht, Wt, n_keep), H, W, tile)
+    z_hi = _broadcast_tiles(z_hi.reshape(Ht, Wt, n_keep), H, W, tile)
+    valid = _broadcast_tiles(valid.reshape(Ht, Wt, n_keep), H, W, tile)
+    return (z_lo.reshape(-1, n_keep), z_hi.reshape(-1, n_keep),
+            valid.reshape(-1, n_keep))
+
+
+def _render_ray_block(params_fine, rcfg: RenderConfig, fcfg: NeRFConfig,
+                      ro, rd, vd, lo, hi, va, key):
+    """Evaluate + composite one block of rays at their selected bins —
+    the shared body of the single-chip and shard_map froxel paths."""
+    k_strat, k_noise = jax.random.split(key)
+    if rcfg.perturb > 0.0:
+        u = jax.random.uniform(k_strat, lo.shape)
+    else:
+        u = 0.5
+    z = lo + (hi - lo) * u
+    z = jnp.where(va, z, jnp.float32(rcfg.far))  # padding composites to 0
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    raw = _apply_model(params_fine, fcfg, pts, vd, rcfg)
+    sigma = jnp.where(va, raw[..., 3], -1e10)
+    raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
+    rgb, disp, acc, _, _ = _composite(raw, z, rd, rcfg, k_noise, None)
+    return {
+        "rgb_map": rgb, "disp_map": disp, "acc_map": acc,
+        "n_active": jnp.sum(va, axis=-1),
+    }
+
+
+def _map_ray_blocks(params_fine, rcfg, fcfg, parts, viewdirs_present, key,
+                    block: int):
+    """lax.map _render_ray_block over blocks of flat rays (pad to a
+    multiple of ``block``, crop after). ``parts`` = [ro, rd, lo, hi, va(,
+    vd)] flat [n, ...] tensors."""
+    n = parts[0].shape[0]
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+
+    def _blocked(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0
+            )
+        return a.reshape((n_blocks, block) + a.shape[1:])
+
+    blocked = [_blocked(a) for a in parts]
+    keys = jax.random.split(key, n_blocks)
+
+    def one(args):
+        if viewdirs_present:
+            (ro, rd, lo, hi, va, vd), k = args[:-1], args[-1]
+        else:
+            (ro, rd, lo, hi, va), k = args[:-1], args[-1]
+            vd = None
+        return _render_ray_block(params_fine, rcfg, fcfg, ro, rd, vd,
+                                 lo, hi, va, k)
+
+    out = jax.lax.map(one, tuple(blocked) + (keys,))
+    return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rcfg", "fcfg", "H", "W", "tile", "n_keep", "block"),
@@ -211,80 +297,14 @@ def _froxel_render_blocks(
     n_keep: int,
     block: int,
 ):
-    from nerf_shared_tpu.ops.rays import get_rays
-
-    rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
-    viewdirs = None
-    if rcfg.use_viewdirs:
-        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-        viewdirs = viewdirs.reshape(-1, 3)
-    rays_o = rays_o.reshape(-1, 3)
-    rays_d = rays_d.reshape(-1, 3)
-
-    # tile-level selection, broadcast to rays
-    Ht, Wt, C = fro.bits.shape
-    idx, valid = _select_bins(fro.bits.reshape(-1, C), n_keep)
-    if rcfg.perturb > 0.0:
-        z_lo = jnp.take(fro.lower, idx, axis=0)  # [T, K] — tiny-table gather
-        z_hi = jnp.take(fro.upper, idx, axis=0)
-    else:
-        # deterministic eval: the stratum's canonical linspace depth, so the
-        # all-occupied/K=C case degenerates to the dense coarse pass exactly
-        z_lo = z_hi = jnp.take(fro.z0, idx, axis=0)
-    z_lo = _broadcast_tiles(z_lo.reshape(Ht, Wt, n_keep), H, W, tile)
-    z_hi = _broadcast_tiles(z_hi.reshape(Ht, Wt, n_keep), H, W, tile)
-    valid = _broadcast_tiles(valid.reshape(Ht, Wt, n_keep), H, W, tile)
-    z_lo = z_lo.reshape(-1, n_keep)
-    z_hi = z_hi.reshape(-1, n_keep)
-    valid = valid.reshape(-1, n_keep)
-
-    n = H * W
-    n_blocks = -(-n // block)
-    pad = n_blocks * block - n
-
-    def _blocked(a):
-        if pad:
-            a = jnp.concatenate(
-                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])], axis=0
-            )
-        return a.reshape((n_blocks, block) + a.shape[1:])
-
+    rays_o, rays_d, viewdirs = _ray_inputs(rcfg, H, W, K, c2w)
+    z_lo, z_hi, valid = _selection_maps(fro, rcfg, H, W, tile, n_keep)
     parts = [rays_o, rays_d, z_lo, z_hi, valid]
     if viewdirs is not None:
         parts.append(viewdirs)
-    blocked = [_blocked(a) for a in parts]
-    keys = jax.random.split(key, n_blocks)
-
-    far = jnp.float32(rcfg.far)
-
-    def one(args):
-        if viewdirs is not None:
-            (ro, rd, lo, hi, va, vd), k = args[:-1], args[-1]
-        else:
-            (ro, rd, lo, hi, va), k = args[:-1], args[-1]
-            vd = None
-        k_strat, k_noise = jax.random.split(k)
-        if rcfg.perturb > 0.0:
-            u = jax.random.uniform(k_strat, lo.shape)
-        else:
-            u = 0.5
-        z = lo + (hi - lo) * u
-        z = jnp.where(va, z, far)   # padded slots composite to nothing
-        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
-        raw = _apply_model(params_fine, fcfg, pts, vd, rcfg)
-        sigma = jnp.where(va, raw[..., 3], -1e10)
-        raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
-        rgb, disp, acc, _, _ = _composite(raw, z, rd, rcfg, k_noise, None)
-        return {
-            "rgb_map": rgb, "disp_map": disp, "acc_map": acc,
-            "n_active": jnp.sum(va, axis=-1),
-        }
-
-    out = jax.lax.map(one, tuple(blocked) + (keys,))
-    out = {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
-    return {
-        k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()
-    }
+    out = _map_ray_blocks(params_fine, rcfg, fcfg, parts,
+                          viewdirs is not None, key, block)
+    return {k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()}
 
 
 def render_image_froxels(
@@ -331,3 +351,69 @@ def render_image_froxels(
         pf, froxels, rcfg, fcfg, H, W, jnp.asarray(np.asarray(K)),
         jnp.asarray(c2w), key, tile, n_keep, block,
     )
+
+
+def make_sharded_render_froxel(
+    mesh,
+    rcfg: RenderConfig,
+    fcfg: NeRFConfig,
+    H: int,
+    W: int,
+    tile: int = 8,
+    n_keep: int = 16,
+    block: int = 16384,
+):
+    """Froxel render sharded over the mesh's 'data' axis: the FroxelGrid and
+    params replicate, the flat rays + their tile-selected bins split, and the
+    pixels all-gather — the same collective shape as
+    parallel/render.make_sharded_render. Selection runs replicated (it is
+    ~(H/tile)·(W/tile) rows of cheap lane-sorts); only the MLP + compositing
+    — all of the frame cost — shards.
+
+    Returns render_fn(params_fine, froxels, K, c2w, key) -> dict of
+    [H, W, ...] maps.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_data = mesh.shape["data"]
+    n = H * W
+    n_pad = -(-n // n_data) * n_data
+
+    def per_device(params_fine, ro, rd, vd, lo, hi, va, key):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        parts = [ro, rd, lo, hi, va]
+        if vd is not None:
+            parts.append(vd)
+        blk = min(block, parts[0].shape[0])
+        return _map_ray_blocks(params_fine, rcfg, fcfg, parts,
+                               vd is not None, key, blk)
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P("data"), P("data"), P("data") if rcfg.use_viewdirs
+                  else P(), P("data"), P("data"), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    jitted = jax.jit(fn)
+
+    def _pad(a):
+        if n_pad != n:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (n_pad - n,) + a.shape[1:])]
+            )
+        return a
+
+    def render_fn(params_fine, froxels: FroxelGrid, K, c2w, key) -> Dict:
+        rays_o, rays_d, viewdirs = _ray_inputs(rcfg, H, W, K,
+                                               jnp.asarray(c2w))
+        z_lo, z_hi, valid = _selection_maps(froxels, rcfg, H, W, tile,
+                                            n_keep)
+        vd = _pad(viewdirs) if viewdirs is not None else None
+        out = jitted(params_fine, _pad(rays_o), _pad(rays_d), vd,
+                     _pad(z_lo), _pad(z_hi), _pad(valid), key)
+        return {k: v[:n].reshape((H, W) + v.shape[1:])
+                for k, v in out.items()}
+
+    return render_fn
