@@ -1,0 +1,160 @@
+"""Time-to-quality: occupancy-gated training vs the reference-semantics step.
+
+--train_occ changes the estimator (grid-gated fine-only sampling instead of
+the coarse+fine hierarchy), so raw rays/s is not an honest comparison — this
+script races both trainers on the same analytic scene and reports eval PSNR
+against ground-truth held-out views as a function of WALL-CLOCK seconds
+(grid maintenance included in the occ trainer's clock).
+
+Eval protocol: both models are rendered densely with uniform fine-only
+sampling (N=192, no hierarchy) — the occ-trained model has no trained
+coarse net to drive importance sampling, and giving the baseline its
+hierarchical eval would conflate train and eval estimators.
+
+Usage: python benchmarks/ttq_occ.py [--steps 8000] [--eval_every 1000]
+Writes benchmarks/ttq_occ_log.jsonl and prints one summary JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.parity_study import FAR, NEAR, make_scene
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.render.renderer import RenderConfig, Renderer
+from nerf_shared_tpu.train.occ_train import (
+    binarize_density_grid,
+    init_density_grid,
+    make_occ_train_step,
+    update_density_grid,
+)
+from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+from nerf_shared_tpu.train.state import create_train_state
+from nerf_shared_tpu.train.step import make_fused_train_step
+
+
+def make_eval(images, poses, i_test, cfg, H, W, K, use_pallas):
+    renderer = Renderer(N_samples=192, N_importance=0, near=NEAR, far=FAR,
+                        use_viewdirs=True, white_bkgd=True, perturb=0.0,
+                        use_pallas=use_pallas)
+    K_d = jnp.asarray(K)
+
+    def eval_psnr(params_fine):
+        mses = []
+        for ti in i_test:
+            rgb, _, _, _ = renderer.render_from_pose(
+                H, W, K_d, 32768, jnp.asarray(poses[ti][:3, :4]),
+                (params_fine, cfg), None, retraw=False)
+            mses.append(float(jnp.mean((rgb - jnp.asarray(images[ti])) ** 2)))
+        return -10.0 * float(np.log10(np.mean(mses)))
+
+    return eval_psnr
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8000)
+    ap.add_argument("--eval_every", type=int, default=1000)
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--n_rand", type=int, default=1024)
+    ap.add_argument("--grid_res", type=int, default=64)
+    ap.add_argument("--candidates", type=int, default=64)
+    ap.add_argument("--keep", type=int, default=32)
+    ap.add_argument("--log", type=str, default="benchmarks/ttq_occ_log.jsonl")
+    a = ap.parse_args()
+
+    images, poses, K, H, W, i_train, i_test = make_scene(size=a.size)
+    cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
+                     multires_views=4, skips=(4,))
+    on_tpu = jax.default_backend() == "tpu"
+    spec = PixelSamplerSpec.from_K(H, W, K, a.n_rand, single_image=True,
+                                   precrop_iters=0)
+    imgs_d = jnp.asarray(images[i_train])
+    poses_d = jnp.asarray(poses[i_train][:, :3, :4])
+    eval_psnr = make_eval(images, poses, i_test, cfg, H, W, K, on_tpu)
+    log = open(a.log, "w")
+    inner = a.eval_every
+    results = {}
+
+    # ---- baseline: reference-semantics hierarchical step ----
+    rcfg = RenderConfig(N_samples=64, N_importance=128, near=NEAR, far=FAR,
+                        use_viewdirs=True, white_bkgd=True, perturb=1.0,
+                        fused_backward=on_tpu, use_pallas=on_tpu)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
+                               lrate_decay=250)
+    step = make_fused_train_step(rcfg, cfg, cfg, spec, inner_steps=inner)
+    state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))  # compile
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
+                               lrate_decay=250)
+    t0 = time.perf_counter()
+    for i in range(0, a.steps, inner):
+        state, aux = step(state, imgs_d, poses_d,
+                          jax.random.fold_in(jax.random.PRNGKey(1), i))
+        float(aux["loss"])  # fence
+        wall = time.perf_counter() - t0
+        rec = {"impl": "hierarchical", "step": i + inner,
+               "wall_s": round(wall, 2),
+               "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
+        log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
+    results["hierarchical"] = rec
+
+    # ---- occupancy-gated trainer ----
+    rcfg_o = RenderConfig(N_samples=a.candidates, N_importance=0, near=NEAR,
+                          far=FAR, use_viewdirs=True, white_bkgd=True,
+                          perturb=1.0, fused_backward=on_tpu,
+                          use_pallas=on_tpu)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
+                               lrate_decay=250)
+    ostep = make_occ_train_step(rcfg_o, cfg, spec, n_candidates=a.candidates,
+                                n_keep=a.keep, inner_steps=inner)
+    lo = np.array([-5.5, -5.5, -5.5]); hi = np.array([5.5, 5.5, 5.5])
+    dg = init_density_grid(lo, hi, a.grid_res)
+    occ = binarize_density_grid(dg)
+    st, _ = ostep(state, occ, imgs_d, poses_d, jax.random.PRNGKey(9))  # compile
+    dg2 = update_density_grid(dg, st.params["fine"], cfg, rcfg_o,
+                              jax.random.PRNGKey(9))   # compile
+    binarize_density_grid(dg2)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
+                               lrate_decay=250)
+    dg = init_density_grid(lo, hi, a.grid_res)
+    t0 = time.perf_counter()
+    for i in range(0, a.steps, inner):
+        occ = binarize_density_grid(dg)
+        state, aux = ostep(state, occ, imgs_d, poses_d,
+                           jax.random.fold_in(jax.random.PRNGKey(1), i))
+        dg = update_density_grid(dg, state.params["fine"], cfg, rcfg_o,
+                                 jax.random.fold_in(jax.random.PRNGKey(2), i))
+        float(aux["loss"])  # fence (includes maintenance in the clock)
+        wall = time.perf_counter() - t0
+        rec = {"impl": "occ_gated", "step": i + inner,
+               "wall_s": round(wall, 2),
+               "occupied": round(float(jnp.mean(occ.grid.astype(
+                   jnp.float32))), 4),
+               "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
+        log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
+    results["occ_gated"] = rec
+    log.close()
+
+    print(json.dumps({
+        "metric": "ttq_occ",
+        "steps": a.steps,
+        "hierarchical": {k: results["hierarchical"][k]
+                         for k in ("wall_s", "eval_psnr")},
+        "occ_gated": {k: results["occ_gated"][k]
+                      for k in ("wall_s", "eval_psnr")},
+        "speedup_wall": round(
+            results["hierarchical"]["wall_s"]
+            / max(results["occ_gated"]["wall_s"], 1e-9), 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -140,10 +140,57 @@ def train(args):
     rcfg = _dc.replace(
         renderer.cfg, use_pallas=False, fused_backward=fused_bwd
     )
-    step_fn = make_fused_train_step(
-        rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
-        acc_reg=getattr(args, "acc_loss_weight", 0.0),
-    )
+    train_occ = bool(getattr(args, "train_occ", False))
+    if train_occ:
+        # occupancy-gated trainer (train/occ_train.py): grid-triaged
+        # fine-only sampling replaces the coarse+fine hierarchy — several-x
+        # rays/s at matched eval quality (benchmarks/ttq_occ.py). The
+        # density grid refreshes between supersteps from the live model.
+        if rcfg.ndc:
+            raise SystemExit("--train_occ supports non-NDC scenes only")
+        if fcfg is None:
+            raise SystemExit("--train_occ requires N_importance > 0 "
+                             "(the fine network is the trained one)")
+        from nerf_shared_tpu.render.occupancy import aabb_from_poses
+        from nerf_shared_tpu.train.occ_train import (
+            binarize_density_grid,
+            init_density_grid,
+            make_occ_train_step,
+            update_density_grid,
+        )
+
+        lo_t, hi_t = aabb_from_poses(
+            H, W, ds.K, ds.poses, renderer.cfg.near, renderer.cfg.far
+        )
+        _dg = {"dg": init_density_grid(lo_t, hi_t, args.train_occ_res)}
+        occ_step = make_occ_train_step(
+            rcfg, fcfg, spec,
+            n_candidates=args.train_occ_candidates,
+            n_keep=args.train_occ_keep,
+            mesh=mesh, inner_steps=inner,
+        )
+        print(f"occupancy-gated training: fine-only, "
+              f"C={args.train_occ_candidates} K={args.train_occ_keep}, "
+              f"grid {args.train_occ_res}^3 (refreshed per dispatch)")
+
+        def step_fn(st, images, poses, key):
+            occ_b = binarize_density_grid(
+                _dg["dg"], alpha_threshold=args.occ_alpha_thresh
+            )
+            if mesh is not None:
+                occ_b = replicate(mesh, occ_b)
+            st, aux = occ_step(st, occ_b, images, poses, key)
+            _dg["dg"] = update_density_grid(
+                _dg["dg"], st.params["fine"], fcfg, rcfg,
+                jax.random.fold_in(key, 0x7FFFFFFF),
+                decay=args.train_occ_decay,
+            )
+            return st, aux
+    else:
+        step_fn = make_fused_train_step(
+            rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
+            acc_reg=getattr(args, "acc_loss_weight", 0.0),
+        )
     if mesh is not None:
         state = replicate(mesh, state)
         images_tr = replicate(mesh, images_tr)

@@ -246,6 +246,24 @@ def config_parser() -> ConfigArgumentParser:
                         help='froxel pixel-tile size: rays in a tile share '
                              'one frustum-voxel column and one top-K bin '
                              'selection')
+    parser.add_argument("--train_occ", type=_str2bool, default=False,
+                        help='occupancy-gated training: triage stratified '
+                             'candidates through a live density grid and '
+                             'train the fine network on K occupied samples '
+                             'per ray (no coarse pass) — several-x rays/s '
+                             'at matched time-to-quality. Non-NDC scenes.')
+    parser.add_argument("--train_occ_res", type=int, default=64,
+                        help='resolution of the training density grid')
+    parser.add_argument("--train_occ_candidates", type=int, default=64,
+                        help='stratified candidates per ray triaged through '
+                             'the training grid')
+    parser.add_argument("--train_occ_keep", type=int, default=32,
+                        help='network samples per ray: occupied candidates '
+                             'kept (chosen uniformly at random, depth-'
+                             'ordered)')
+    parser.add_argument("--train_occ_decay", type=float, default=0.95,
+                        help='EMA decay of the training density grid per '
+                             'refresh (refreshed once per dispatch)')
     parser.add_argument("--fused_backward", type=_str2bool, default=False,
                         help='train with the fully fused Pallas forward+'
                              'backward kernel (fp32, in-kernel remat; '

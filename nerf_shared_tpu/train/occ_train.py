@@ -1,0 +1,287 @@
+"""Occupancy-gated training: spend the MLP only where the scene is.
+
+The reference training step evaluates 256 network points per ray (64 coarse
++ 64+128 fine, reference main.py:85-104) — and the fused-kernel roofline
+shows the step already runs at ~2/3 of absolute MXU peak, so higher
+rays/s/chip requires FEWER FLOPS, not faster kernels (ROADMAP.md). This
+module is that cut, NerfAcc-style re-designed for TPU static shapes:
+
+  - A density grid (EMA of periodic whole-grid probes, all cells start
+    occupied) tracks where the evolving field is non-empty.
+  - Each step draws C jittered stratified candidates per ray, triages them
+    through the binary grid (C·N_rand lookups — at training scale ~65k rows,
+    ~0.1 ms, unlike the 41M of a full frame), and keeps K of the occupied
+    ones selected UNIFORMLY AT RANDOM, compacted in depth order with the
+    one-hot-rank trick (no gather). Random (not nearest-first) selection is
+    what makes the all-occupied warmup sound: it degenerates to plain
+    stratified subsampling instead of only ever sampling the near plane.
+  - Only the FINE network trains (there is no coarse pass to guide — the
+    grid replaces the hierarchy, exactly as in the occupancy renderers).
+    Coarse params ride along untouched (zero grads), keeping the checkpoint
+    schema and interop intact.
+  - Compositing runs through the same ``_composite`` the froxel/occ
+    renderers use (selected depths, padding forced transparent), so the
+    training estimator matches the fast-render estimator exactly.
+
+Semantics note: this is an ACCELERATION MODE (--train_occ), not the
+reference estimator — compare on time-to-quality (benchmarks/ttq_occ.py),
+not rays/s. No reference counterpart; informed by the sample-efficiency
+literature (PAPERS.md: NerfAcc, Instant-NGP density grids).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.render.occupancy import OccupancyGrid, _dilate, lookup
+from nerf_shared_tpu.render.renderer import RenderConfig, _apply_model, _composite
+from nerf_shared_tpu.train.state import TrainState
+from nerf_shared_tpu.train.step import pack_ray_batch
+from nerf_shared_tpu.utils.metrics import img2mse, mse2psnr
+
+
+class DensityGrid(NamedTuple):
+    """EMA density field over the scene AABB (the train-time analogue of
+    the post-hoc OccupancyGrid build). ``ema`` starts at +1e4 so every cell
+    is occupied until real probes decay it — the warmup is implicit."""
+
+    ema: jnp.ndarray       # [G, G, G] float32
+    aabb_min: jnp.ndarray  # [3]
+    aabb_max: jnp.ndarray  # [3]
+
+
+def init_density_grid(aabb_min, aabb_max, resolution: int) -> DensityGrid:
+    return DensityGrid(
+        jnp.full((resolution,) * 3, 1e4, jnp.float32),
+        jnp.asarray(aabb_min, jnp.float32),
+        jnp.asarray(aabb_max, jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("fcfg", "rcfg", "block"))
+def update_density_grid(
+    grid: DensityGrid,
+    params_fine,
+    fcfg: NeRFConfig,
+    rcfg: RenderConfig,
+    key,
+    decay: float = 0.95,
+    block: int = 65536,
+) -> DensityGrid:
+    """One maintenance pass: probe every cell at one uniformly jittered
+    point, ema = max(ema * decay, sigma). Whole-grid at 64³ is ~0.26M
+    points (a few ms on one chip), amortized across a superstep."""
+    g = grid.ema.shape[0]
+    cell = (grid.aabb_max - grid.aabb_min) / g
+    ax = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+    centers = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+    centers = grid.aabb_min + centers.reshape(-1, 3) * (
+        grid.aabb_max - grid.aabb_min
+    )
+    n = centers.shape[0]
+    block = min(block, n)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    if pad:
+        centers = jnp.concatenate([centers, centers[:pad]], axis=0)
+    centers = centers.reshape(n_blocks, block, 3)
+    keys = jax.random.split(key, n_blocks)
+    dirs = (
+        jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32)
+        if fcfg.use_viewdirs else None
+    )
+
+    def probe(args):
+        pts_c, k = args
+        off = jax.random.uniform(k, (block, 3), minval=-0.5, maxval=0.5) * cell
+        raw = _apply_model(params_fine, fcfg, (pts_c + off)[None], dirs, rcfg)
+        return jax.nn.relu(raw[0, :, 3])
+
+    sigma = jax.lax.map(probe, (centers, keys)).reshape(-1)[:n]
+    ema = jnp.maximum(grid.ema * decay, sigma.reshape((g,) * 3))
+    return DensityGrid(ema, grid.aabb_min, grid.aabb_max)
+
+
+@functools.partial(jax.jit, static_argnames=("alpha_threshold", "dilation"))
+def binarize_density_grid(
+    grid: DensityGrid,
+    alpha_threshold: float = 1e-3,
+    dilation: int = 1,
+) -> OccupancyGrid:
+    """EMA densities -> conservative binary grid, same thresholding rule as
+    render/occupancy.build_occupancy_grid (alpha over one cell crossing)."""
+    g = grid.ema.shape[0]
+    cell = (grid.aabb_max - grid.aabb_min) / g
+    step = jnp.linalg.norm(cell)
+    occ = grid.ema * step > -np.log1p(-min(alpha_threshold, 0.999))
+    grid_f = _dilate(occ.astype(jnp.float32), dilation)
+    return OccupancyGrid(grid_f > 0.5, grid.aabb_min, grid.aabb_max)
+
+
+def _random_k_of_occupied(key, z_cand, occ_c, n_keep: int, far):
+    """Keep ``n_keep`` of each ray's occupied candidates, chosen uniformly
+    at random, compacted in DEPTH ORDER (compositing needs ascending z).
+
+    z_cand [R, C] ascending, occ_c [R, C] bool ->
+    (z_sel [R, K] ascending with padding = far, valid [R, K]).
+
+    One lane-dim sort ranks random keys; the chosen mask is compacted with
+    the cumsum/one-hot pattern (the sample_pdf gather-avoidance trick) —
+    no gathers anywhere.
+    """
+    C = z_cand.shape[-1]
+    u = jax.random.uniform(key, z_cand.shape)
+    keys = jnp.where(occ_c, u, 2.0)
+    kth = jnp.sort(keys, axis=-1)[:, n_keep - 1 : n_keep]   # [R, 1]
+    chosen = (keys <= kth) & occ_c                           # [R, C]
+    # order-preserving compaction
+    rank = jnp.cumsum(chosen.astype(jnp.int32), axis=-1) - 1
+    ks = jnp.arange(n_keep, dtype=jnp.int32)
+    onehot = (rank[..., None] == ks) & chosen[..., None]     # [R, C, K]
+    z_sel = jnp.sum(jnp.where(onehot, z_cand[..., None], 0.0), axis=-2)
+    n_sel = jnp.minimum(jnp.sum(chosen.astype(jnp.int32), -1), n_keep)
+    valid = ks < n_sel[:, None]
+    return jnp.where(valid, z_sel, far), valid
+
+
+def occ_nerf_loss(
+    params,
+    occ: OccupancyGrid,
+    ray_batch: jnp.ndarray,     # [N, 8|11]
+    target: jnp.ndarray,        # [N, 3]
+    key,
+    rcfg: RenderConfig,
+    fcfg: NeRFConfig,
+    n_candidates: int,
+    n_keep: int,
+):
+    """MSE of the grid-gated fine render against target pixels."""
+    from nerf_shared_tpu.ops.sampling import sample_along_rays
+
+    rays_o, rays_d = ray_batch[:, 0:3], ray_batch[:, 3:6]
+    viewdirs = ray_batch[:, -3:] if ray_batch.shape[-1] > 8 else None
+    near, far = ray_batch[:, 6:7], ray_batch[:, 7:8]
+    k_strat, k_sel, k_noise = jax.random.split(key, 3)
+
+    z_cand = sample_along_rays(
+        k_strat, near, far, n_candidates,
+        lindisp=rcfg.lindisp, perturb=rcfg.perturb,
+    )  # [N, C]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_cand[..., None]
+    occ_c = lookup(occ, jax.lax.stop_gradient(pts))
+
+    z_sel, valid = _random_k_of_occupied(k_sel, z_cand, occ_c, n_keep, far)
+    pts_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
+    raw = _apply_model(params["fine"], fcfg, pts_sel, viewdirs, rcfg)
+    sigma = jnp.where(valid, raw[..., 3], -1e10)
+    raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
+    rgb, _, acc, _, _ = _composite(raw, z_sel, rays_d, rcfg, k_noise, None)
+
+    img_loss = img2mse(rgb, target)
+    aux = {
+        "loss": img_loss,
+        "img_loss": img_loss,
+        "psnr": mse2psnr(img_loss),
+        "n_active_mean": jnp.mean(jnp.sum(valid, -1).astype(jnp.float32)),
+        "acc_mean": jnp.mean(acc),
+    }
+    return img_loss, aux
+
+
+def make_occ_train_step(
+    rcfg: RenderConfig,
+    fcfg: NeRFConfig,
+    spec,                        # PixelSamplerSpec
+    n_candidates: int = 64,
+    n_keep: int = 32,
+    mesh=None,
+    inner_steps: int = 1,
+    donate: bool = True,
+):
+    """The occupancy-gated production step, mirroring make_fused_train_step:
+    pixel sampling + grid triage + fine render + backward + Adam in one XLA
+    program, lax.scan'ed over ``inner_steps``, optionally shard_mapped over
+    the mesh's 'data' axis (grid + params replicated, grads pmean'ed).
+
+    step(state, occ_binary: OccupancyGrid, images, poses, key)
+      -> (state, metrics). The binary grid is a pytree argument — refresh it
+    between supersteps with update_density_grid + binarize_density_grid.
+    """
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_shared_tpu.train.pipeline import sample_ray_batch
+
+    assert not rcfg.ndc, "--train_occ supports non-NDC scenes (blender-style)"
+
+    sharded = mesh is not None
+    if sharded:
+        n_data = mesh.shape["data"]
+        local_spec = dataclasses.replace(
+            spec, N_rand=int(-(-spec.N_rand // n_data))
+        )
+    else:
+        local_spec = spec
+
+    def one_step(state: TrainState, occ, images, poses, key):
+        batch_offset = 0
+        if sharded:
+            axis_idx = jax.lax.axis_index("data")
+            key = jax.random.fold_in(key, axis_idx)
+            batch_offset = axis_idx * local_spec.N_rand
+        k_sample, k_render = jax.random.split(key)
+        rays_o, rays_d, target = sample_ray_batch(
+            k_sample, images, poses, state.step, local_spec,
+            batch_offset=batch_offset,
+        )
+        ray_batch = pack_ray_batch(
+            rays_o, rays_d, rcfg, spec.H, spec.W, spec.fx
+        )
+
+        def loss_fn(params):
+            return occ_nerf_loss(
+                params, occ, ray_batch, target, k_render, rcfg, fcfg,
+                n_candidates, n_keep,
+            )
+
+        (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        if sharded:
+            grads = jax.lax.pmean(grads, axis_name="data")
+            aux = jax.lax.pmean(aux, axis_name="data")
+            aux["psnr"] = mse2psnr(aux["img_loss"])
+        return state.apply_gradients(grads), aux
+
+    def superstep(state: TrainState, occ, images, poses, key):
+        if inner_steps == 1:
+            return one_step(state, occ, images, poses, key)
+
+        def body(carry, i):
+            st, aux = one_step(carry, occ, images, poses,
+                               jax.random.fold_in(key, i))
+            return st, aux
+
+        state, auxes = jax.lax.scan(
+            body, state, jnp.arange(inner_steps, dtype=jnp.int32)
+        )
+        return state, jax.tree_util.tree_map(lambda a: a[-1], auxes)
+
+    if sharded:
+        fn = jax.shard_map(
+            superstep,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    else:
+        fn = superstep
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -331,3 +331,37 @@ def test_e2e_in_training_occ_maintenance(tmp_path):
 
         img = np.asarray(imageio.imread(pngs[0]), np.float32)
         assert np.isfinite(img).all()
+
+
+def test_e2e_train_occ(tmp_path):
+    """--train_occ drives the full CLI: occupancy-gated fine-only training
+    (grid refreshed each dispatch), checkpoints written, PSNR finite, and
+    the checkpoint renders through the occ render path."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
+        train_occ=True, train_occ_res=8, train_occ_candidates=12,
+        train_occ_keep=6, precrop_iters=0, chunk=256,
+    )
+
+    args = config_parser().parse_args(["--config", cfg_path])
+    run(args)
+    expdir = os.path.join(logdir, "tiny_e2e")
+    assert glob.glob(os.path.join(expdir, "*.tar"))
+
+    args2 = config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256", "--occ_grid", "8", "--occ_candidates", "12",
+         "--occ_keep", "6"]
+    )
+    outdir = render_only(args2)
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert len(pngs) == 2
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()

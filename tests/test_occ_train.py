@@ -1,0 +1,159 @@
+"""Occupancy-gated training (train/occ_train.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_shared_tpu.models.nerf import NeRFConfig
+from nerf_shared_tpu.render.occupancy import OccupancyGrid
+from nerf_shared_tpu.render.renderer import RenderConfig
+from nerf_shared_tpu.train import occ_train as OT
+from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+from nerf_shared_tpu.train.state import create_train_state
+
+
+def _rcfg(**kw):
+    base = dict(N_samples=8, N_importance=0, near=2.0, far=6.0,
+                use_viewdirs=True, white_bkgd=True, perturb=1.0)
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+def test_random_k_selection_properties():
+    """Selected depths are a depth-ordered subset of the occupied
+    candidates; count = min(K, #occupied); padding = far."""
+    rng = np.random.default_rng(0)
+    R, C, K = 64, 24, 8
+    z = np.sort(rng.uniform(2, 6, (R, C)), axis=-1).astype(np.float32)
+    occ = rng.random((R, C)) < 0.4
+    occ[0] = False                      # an all-empty ray
+    occ[1] = True                       # an all-occupied ray
+    far = jnp.full((R, 1), 6.0)
+    z_sel, valid = OT._random_k_of_occupied(
+        jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(occ), K, far
+    )
+    z_sel, valid = np.asarray(z_sel), np.asarray(valid)
+    for r in range(R):
+        n = valid[r].sum()
+        assert n == min(K, occ[r].sum()), r
+        sel = z_sel[r][valid[r]]
+        assert (np.diff(sel) > 0).all(), r           # depth-ordered
+        occupied_zs = set(z[r][occ[r]].tolist())
+        assert all(v in occupied_zs for v in sel.tolist()), r
+        assert (z_sel[r][~valid[r]] == 6.0).all(), r
+
+
+def test_random_selection_covers_far_candidates():
+    """With everything occupied (the warmup state), selection must not
+    collapse to the nearest-K prefix — far candidates must be drawn too
+    (this is what prevents the never-see-the-scene deadlock)."""
+    R, C, K = 256, 32, 8
+    z = jnp.broadcast_to(jnp.linspace(2.0, 6.0, C), (R, C))
+    occ = jnp.ones((R, C), bool)
+    far = jnp.full((R, 1), 6.0)
+    z_sel, valid = OT._random_k_of_occupied(
+        jax.random.PRNGKey(1), z, occ, K, far
+    )
+    assert bool(valid.all())
+    assert float(jnp.max(z_sel)) > 5.5   # far half gets sampled
+    assert float(jnp.mean(z_sel)) == jax.numpy.clip(
+        float(jnp.mean(z_sel)), 3.5, 4.5)  # roughly uniform over [2, 6]
+
+
+def test_density_grid_init_and_binarize():
+    dg = OT.init_density_grid(np.array([-1.0, -1, -1]),
+                              np.array([1.0, 1, 1]), 8)
+    occ = OT.binarize_density_grid(dg)
+    assert bool(occ.grid.all())          # warmup: everything occupied
+    dg0 = OT.DensityGrid(jnp.zeros((8, 8, 8)), dg.aabb_min, dg.aabb_max)
+    occ0 = OT.binarize_density_grid(dg0)
+    assert not bool(occ0.grid.any())
+
+
+def test_update_density_grid_decays_and_probes():
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    params = create_train_state(jax.random.PRNGKey(0), cfg, cfg).params
+    dg = OT.init_density_grid(np.array([-2.0, -2, -2]),
+                              np.array([2.0, 2, 2]), 8)
+    rcfg = _rcfg()
+    new = OT.update_density_grid(dg, params["fine"], cfg, rcfg,
+                                 jax.random.PRNGKey(1), decay=0.5)
+    ema = np.asarray(new.ema)
+    assert np.isfinite(ema).all()
+    # max(decayed, probe): never below decay * old, and decayed from 1e4
+    # unless the fresh probe exceeded it (it can't at random init)
+    assert (ema >= 0.5 * np.asarray(dg.ema) - 1e-3).all()
+    assert (ema <= np.asarray(dg.ema) + 1e-3).all()
+    # repeated updates decay empty space toward unoccupied
+    for i in range(25):
+        new = OT.update_density_grid(new, params["fine"], cfg, rcfg,
+                                     jax.random.PRNGKey(i), decay=0.5)
+    occ = OT.binarize_density_grid(new)
+    assert float(jnp.mean(occ.grid.astype(jnp.float32))) < 1.0
+
+
+def test_occ_step_trains():
+    """Loss decreases through the full occ step (sampling + triage +
+    selection + fine render + Adam)."""
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    rcfg = _rcfg()
+    H = W = 16
+    K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]])
+    spec = PixelSamplerSpec.from_K(H, W, K, N_rand=64, single_image=True,
+                                   precrop_iters=0)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-3)
+    # constant-color target: fittable from 3D structure (random pixels are
+    # not — their variance is an irreducible loss floor)
+    images = jnp.full((2, H, W, 3), 0.3, jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(3, 4)] * 2).astype(np.float32))
+    occ = OT.binarize_density_grid(
+        OT.init_density_grid(np.array([-4.0, -4, -4]),
+                             np.array([4.0, 4, 4]), 8))
+    step = OT.make_occ_train_step(
+        rcfg, cfg, spec, n_candidates=12, n_keep=6, inner_steps=5,
+        donate=False,
+    )
+    first = None
+    coarse0 = jax.device_get(state.params["coarse"])
+    for i in range(8):
+        state, aux = step(state, occ, images, poses,
+                          jax.random.fold_in(jax.random.PRNGKey(1), i))
+        if first is None:
+            first = float(aux["loss"])
+    assert float(aux["loss"]) < first * 0.8, (first, float(aux["loss"]))
+    assert int(state.step) == 40
+    # the coarse network must ride along untouched
+    coarse1 = jax.device_get(state.params["coarse"])
+    for a, b in zip(jax.tree_util.tree_leaves(coarse0),
+                    jax.tree_util.tree_leaves(coarse1)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_occ_step_sharded():
+    """The occ step under shard_map on the 8-device mesh: finite loss,
+    advancing step counter."""
+    from nerf_shared_tpu.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh()
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    rcfg = _rcfg()
+    H = W = 16
+    K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]])
+    spec = PixelSamplerSpec.from_K(H, W, K, N_rand=8 * 8, single_image=True,
+                                   precrop_iters=0)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((2, H, W, 3)).astype(np.float32))
+    poses = jnp.asarray(np.stack([np.eye(3, 4)] * 2).astype(np.float32))
+    occ = OT.binarize_density_grid(
+        OT.init_density_grid(np.array([-4.0, -4, -4]),
+                             np.array([4.0, 4, 4]), 4))
+    step = OT.make_occ_train_step(rcfg, cfg, spec, n_candidates=8, n_keep=4,
+                                  mesh=mesh, inner_steps=2, donate=False)
+    state = replicate(mesh, state)
+    occ = replicate(mesh, occ)
+    images = replicate(mesh, images)
+    poses = replicate(mesh, poses)
+    state, aux = step(state, occ, images, poses, jax.random.PRNGKey(2))
+    assert np.isfinite(float(aux["loss"]))
+    assert int(state.step) == 2
