@@ -68,6 +68,8 @@ def main():
     ap.add_argument("--grid_res", type=int, default=64)
     ap.add_argument("--candidates", type=int, default=64)
     ap.add_argument("--keep", type=int, default=32)
+    ap.add_argument("--warmup", type=int, default=2000)
+    ap.add_argument("--skip_hierarchical", action="store_true")
     ap.add_argument("--log", type=str, default="benchmarks/ttq_occ_log.jsonl")
     a = ap.parse_args()
 
@@ -88,33 +90,39 @@ def main():
     rcfg = RenderConfig(N_samples=64, N_importance=128, near=NEAR, far=FAR,
                         use_viewdirs=True, white_bkgd=True, perturb=1.0,
                         fused_backward=on_tpu, use_pallas=on_tpu)
-    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
-                               lrate_decay=250)
-    step = make_fused_train_step(rcfg, cfg, cfg, spec, inner_steps=inner)
-    state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))  # compile
-    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
-                               lrate_decay=250)
-    t0 = time.perf_counter()
-    for i in range(0, a.steps, inner):
-        state, aux = step(state, imgs_d, poses_d,
-                          jax.random.fold_in(jax.random.PRNGKey(1), i))
-        float(aux["loss"])  # fence
-        wall = time.perf_counter() - t0
-        rec = {"impl": "hierarchical", "step": i + inner,
-               "wall_s": round(wall, 2),
-               "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
-        log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
-    results["hierarchical"] = rec
+    if not a.skip_hierarchical:
+        state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
+                                   lrate=5e-4, lrate_decay=250)
+        step = make_fused_train_step(rcfg, cfg, cfg, spec, inner_steps=inner)
+        state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))
+        state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
+                                   lrate=5e-4, lrate_decay=250)
+        t0 = time.perf_counter()
+        for i in range(0, a.steps, inner):
+            state, aux = step(state, imgs_d, poses_d,
+                              jax.random.fold_in(jax.random.PRNGKey(1), i))
+            float(aux["loss"])  # fence
+            wall = time.perf_counter() - t0
+            rec = {"impl": "hierarchical", "step": i + inner,
+                   "wall_s": round(wall, 2),
+                   "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
+            log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
+        results["hierarchical"] = rec
 
     # ---- occupancy-gated trainer ----
     rcfg_o = RenderConfig(N_samples=a.candidates, N_importance=0, near=NEAR,
                           far=FAR, use_viewdirs=True, white_bkgd=True,
                           perturb=1.0, fused_backward=on_tpu,
                           use_pallas=on_tpu)
+    import dataclasses as _dc
+
     state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
                                lrate_decay=250)
     ostep = make_occ_train_step(rcfg_o, cfg, spec, n_candidates=a.candidates,
                                 n_keep=a.keep, inner_steps=inner)
+    ostep_warm = make_occ_train_step(
+        _dc.replace(rcfg_o, raw_noise_std=1.0), cfg, spec,
+        n_candidates=a.candidates, n_keep=a.keep, inner_steps=inner)
     lo = np.array([-5.5, -5.5, -5.5]); hi = np.array([5.5, 5.5, 5.5])
     dg = init_density_grid(lo, hi, a.grid_res)
     occ = binarize_density_grid(dg)
@@ -127,9 +135,11 @@ def main():
     dg = init_density_grid(lo, hi, a.grid_res)
     t0 = time.perf_counter()
     for i in range(0, a.steps, inner):
-        occ = binarize_density_grid(dg)
-        state, aux = ostep(state, occ, imgs_d, poses_d,
-                           jax.random.fold_in(jax.random.PRNGKey(1), i))
+        warm = i < a.warmup
+        occ = binarize_density_grid(dg, force_occupied=warm)
+        state, aux = (ostep_warm if warm else ostep)(
+            state, occ, imgs_d, poses_d,
+            jax.random.fold_in(jax.random.PRNGKey(1), i))
         dg = update_density_grid(dg, state.params["fine"], cfg, rcfg_o,
                                  jax.random.fold_in(jax.random.PRNGKey(2), i))
         float(aux["loss"])  # fence (includes maintenance in the clock)
@@ -143,17 +153,16 @@ def main():
     results["occ_gated"] = rec
     log.close()
 
-    print(json.dumps({
-        "metric": "ttq_occ",
-        "steps": a.steps,
-        "hierarchical": {k: results["hierarchical"][k]
-                         for k in ("wall_s", "eval_psnr")},
-        "occ_gated": {k: results["occ_gated"][k]
-                      for k in ("wall_s", "eval_psnr")},
-        "speedup_wall": round(
+    summary = {"metric": "ttq_occ", "steps": a.steps,
+               "occ_gated": {k: results["occ_gated"][k]
+                             for k in ("wall_s", "eval_psnr")}}
+    if "hierarchical" in results:
+        summary["hierarchical"] = {k: results["hierarchical"][k]
+                                   for k in ("wall_s", "eval_psnr")}
+        summary["speedup_wall"] = round(
             results["hierarchical"]["wall_s"]
-            / max(results["occ_gated"]["wall_s"], 1e-9), 2),
-    }))
+            / max(results["occ_gated"]["wall_s"], 1e-9), 2)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

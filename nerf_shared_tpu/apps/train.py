@@ -167,19 +167,43 @@ def train(args):
             rcfg, fcfg, spec,
             n_candidates=args.train_occ_candidates,
             n_keep=args.train_occ_keep,
+            explore=args.train_occ_explore,
             mesh=mesh, inner_steps=inner,
+        )
+        # warmup variant: sigma noise (the reference's own raw_noise_std
+        # regularizer) breaks the zero-gradient transparency trap — at the
+        # torch-parity init sigma is NEGATIVE everywhere (relu' = 0), so a
+        # noiseless fine-only start is a near-flat lottery (measured: runs
+        # either reach 24 dB or freeze at background depending on the RNG
+        # stream). Noise makes escape deterministic.
+        warm_noise = max(float(rcfg.raw_noise_std),
+                         float(args.train_occ_warmup_noise))
+        warm_rcfg = _dc.replace(rcfg, raw_noise_std=warm_noise)
+        occ_step_warm = (
+            make_occ_train_step(
+                warm_rcfg, fcfg, spec,
+                n_candidates=args.train_occ_candidates,
+                n_keep=args.train_occ_keep,
+                explore=args.train_occ_explore,
+                mesh=mesh, inner_steps=inner,
+            )
+            if warm_noise != float(rcfg.raw_noise_std) else occ_step
         )
         print(f"occupancy-gated training: fine-only, "
               f"C={args.train_occ_candidates} K={args.train_occ_keep}, "
               f"grid {args.train_occ_res}^3 (refreshed per dispatch)")
 
         def step_fn(st, images, poses, key):
+            warm = int(jax.device_get(st.step)) < args.train_occ_warmup
             occ_b = binarize_density_grid(
-                _dg["dg"], alpha_threshold=args.occ_alpha_thresh
+                _dg["dg"], alpha_threshold=args.occ_alpha_thresh,
+                force_occupied=warm,
             )
             if mesh is not None:
                 occ_b = replicate(mesh, occ_b)
-            st, aux = occ_step(st, occ_b, images, poses, key)
+            st, aux = (occ_step_warm if warm else occ_step)(
+                st, occ_b, images, poses, key
+            )
             _dg["dg"] = update_density_grid(
                 _dg["dg"], st.params["fine"], fcfg, rcfg,
                 jax.random.fold_in(key, 0x7FFFFFFF),

@@ -261,6 +261,21 @@ def config_parser() -> ConfigArgumentParser:
                         help='network samples per ray: occupied candidates '
                              'kept (chosen uniformly at random, depth-'
                              'ordered)')
+    parser.add_argument("--train_occ_warmup", type=int, default=2000,
+                        help='train with a fully-occupied grid for this many '
+                             'first steps: early training drives density to '
+                             'zero everywhere (white-background phase) and a '
+                             'grid that sparsifies then starves training')
+    parser.add_argument("--train_occ_warmup_noise", type=float, default=1.0,
+                        help='sigma noise std during the warmup steps: at '
+                             'the torch-parity init sigma is negative '
+                             'everywhere (zero relu gradient), so noiseless '
+                             'fine-only training may freeze at background; '
+                             'noise makes the escape deterministic')
+    parser.add_argument("--train_occ_explore", type=float, default=0.02,
+                        help='epsilon-greedy floor: probability of sampling '
+                             'a grid-empty candidate anyway, so wrongly-'
+                             'empty regions can recover density')
     parser.add_argument("--train_occ_decay", type=float, default=0.95,
                         help='EMA decay of the training density grid per '
                              'refresh (refreshed once per dispatch)')

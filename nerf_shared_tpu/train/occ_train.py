@@ -48,17 +48,24 @@ from nerf_shared_tpu.utils.metrics import img2mse, mse2psnr
 
 class DensityGrid(NamedTuple):
     """EMA density field over the scene AABB (the train-time analogue of
-    the post-hoc OccupancyGrid build). ``ema`` starts at +1e4 so every cell
-    is occupied until real probes decay it — the warmup is implicit."""
+    the post-hoc OccupancyGrid build). ``ema`` starts at the _UNINIT
+    sentinel: every cell binarizes occupied until the first whole-grid
+    probe replaces it — the warmup is implicit and one update long."""
 
     ema: jnp.ndarray       # [G, G, G] float32
     aabb_min: jnp.ndarray  # [3]
     aabb_max: jnp.ndarray  # [3]
 
 
+_UNINIT = 1e4  # sentinel: "no probe yet" — binarizes occupied, and the
+               # FIRST update replaces it with the probe instead of EMA-ing
+               # (1e4 * 0.95^n would otherwise stay occupied for ~270
+               # updates, disabling skipping for most of a training run)
+
+
 def init_density_grid(aabb_min, aabb_max, resolution: int) -> DensityGrid:
     return DensityGrid(
-        jnp.full((resolution,) * 3, 1e4, jnp.float32),
+        jnp.full((resolution,) * 3, _UNINIT, jnp.float32),
         jnp.asarray(aabb_min, jnp.float32),
         jnp.asarray(aabb_max, jnp.float32),
     )
@@ -103,28 +110,49 @@ def update_density_grid(
         raw = _apply_model(params_fine, fcfg, (pts_c + off)[None], dirs, rcfg)
         return jax.nn.relu(raw[0, :, 3])
 
-    sigma = jax.lax.map(probe, (centers, keys)).reshape(-1)[:n]
-    ema = jnp.maximum(grid.ema * decay, sigma.reshape((g,) * 3))
+    sigma = jax.lax.map(probe, (centers, keys)).reshape(-1)[:n].reshape(
+        (g,) * 3
+    )
+    ema = jnp.where(
+        grid.ema >= _UNINIT,
+        sigma,                                  # first real probe wins
+        jnp.maximum(grid.ema * decay, sigma),
+    )
     return DensityGrid(ema, grid.aabb_min, grid.aabb_max)
 
 
-@functools.partial(jax.jit, static_argnames=("alpha_threshold", "dilation"))
+@functools.partial(
+    jax.jit, static_argnames=("alpha_threshold", "dilation", "force_occupied")
+)
 def binarize_density_grid(
     grid: DensityGrid,
     alpha_threshold: float = 1e-3,
     dilation: int = 1,
+    force_occupied: bool = False,
 ) -> OccupancyGrid:
     """EMA densities -> conservative binary grid, same thresholding rule as
-    render/occupancy.build_occupancy_grid (alpha over one cell crossing)."""
+    render/occupancy.build_occupancy_grid (alpha over one cell crossing).
+
+    ``force_occupied`` marks every cell occupied regardless of the EMA —
+    the training warmup. It is REQUIRED early in training: with a white
+    background the model first learns "everything transparent" (density
+    ~0 everywhere) before geometry forms, and a grid that sparsifies
+    during that phase starves training of samples permanently (measured:
+    eval stuck at the all-background 6.8 dB). Callers gate it on the step
+    count (--train_occ_warmup)."""
     g = grid.ema.shape[0]
     cell = (grid.aabb_max - grid.aabb_min) / g
     step = jnp.linalg.norm(cell)
+    if force_occupied:
+        full = jnp.ones(grid.ema.shape, bool)
+        return OccupancyGrid(full, grid.aabb_min, grid.aabb_max)
     occ = grid.ema * step > -np.log1p(-min(alpha_threshold, 0.999))
     grid_f = _dilate(occ.astype(jnp.float32), dilation)
     return OccupancyGrid(grid_f > 0.5, grid.aabb_min, grid.aabb_max)
 
 
-def _random_k_of_occupied(key, z_cand, occ_c, n_keep: int, far):
+def _random_k_of_occupied(key, z_cand, occ_c, n_keep: int, far,
+                          explore: float = 0.0):
     """Keep ``n_keep`` of each ray's occupied candidates, chosen uniformly
     at random, compacted in DEPTH ORDER (compositing needs ascending z).
 
@@ -134,9 +162,18 @@ def _random_k_of_occupied(key, z_cand, occ_c, n_keep: int, far):
     One lane-dim sort ranks random keys; the chosen mask is compacted with
     the cumsum/one-hot pattern (the sample_pdf gather-avoidance trick) —
     no gathers anywhere.
+
+    ``explore`` > 0 treats each unoccupied candidate as occupied with that
+    probability — an epsilon-greedy floor so regions the grid wrongly marks
+    empty keep receiving a trickle of samples and their density (probed
+    every grid refresh) can recover. Without it a premature empty mark is
+    unrecoverable: unsampled cells get no gradient.
     """
     C = z_cand.shape[-1]
-    u = jax.random.uniform(key, z_cand.shape)
+    k_u, k_x = jax.random.split(key)
+    u = jax.random.uniform(k_u, z_cand.shape)
+    if explore > 0.0:
+        occ_c = occ_c | (jax.random.uniform(k_x, occ_c.shape) < explore)
     keys = jnp.where(occ_c, u, 2.0)
     kth = jnp.sort(keys, axis=-1)[:, n_keep - 1 : n_keep]   # [R, 1]
     chosen = (keys <= kth) & occ_c                           # [R, C]
@@ -160,6 +197,7 @@ def occ_nerf_loss(
     fcfg: NeRFConfig,
     n_candidates: int,
     n_keep: int,
+    explore: float = 0.0,
 ):
     """MSE of the grid-gated fine render against target pixels."""
     from nerf_shared_tpu.ops.sampling import sample_along_rays
@@ -176,7 +214,8 @@ def occ_nerf_loss(
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_cand[..., None]
     occ_c = lookup(occ, jax.lax.stop_gradient(pts))
 
-    z_sel, valid = _random_k_of_occupied(k_sel, z_cand, occ_c, n_keep, far)
+    z_sel, valid = _random_k_of_occupied(k_sel, z_cand, occ_c, n_keep, far,
+                                         explore=explore)
     pts_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
     raw = _apply_model(params["fine"], fcfg, pts_sel, viewdirs, rcfg)
     sigma = jnp.where(valid, raw[..., 3], -1e10)
@@ -200,6 +239,7 @@ def make_occ_train_step(
     spec,                        # PixelSamplerSpec
     n_candidates: int = 64,
     n_keep: int = 32,
+    explore: float = 0.02,
     mesh=None,
     inner_steps: int = 1,
     donate: bool = True,
@@ -248,7 +288,7 @@ def make_occ_train_step(
         def loss_fn(params):
             return occ_nerf_loss(
                 params, occ, ray_batch, target, k_render, rcfg, fcfg,
-                n_candidates, n_keep,
+                n_candidates, n_keep, explore=explore,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
