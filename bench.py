@@ -74,6 +74,35 @@ def main():
     assert np.isfinite(final_loss)
 
     rays_per_sec = n_dispatch * INNER * N_RAND / dt
+
+    # secondary: the occupancy-gated trainer (--train_occ, a different
+    # estimator — see benchmarks/ttq_occ.py for the time-to-quality
+    # comparison). Measured at a realistic post-warmup sparsity.
+    from nerf_shared_tpu.train.occ_train import (
+        binarize_density_grid,
+        init_density_grid,
+        make_occ_train_step,
+    )
+
+    occ_state = create_train_state(jax.random.PRNGKey(0), ccfg, ccfg,
+                                   lrate=5e-4, lrate_decay=500)
+    ostep = make_occ_train_step(rcfg, ccfg, spec, n_candidates=64,
+                                n_keep=32, inner_steps=INNER)
+    dg = init_density_grid(np.array([-4.0, -4, -4]), np.array([4.0, 4, 4]),
+                           64)
+    occ = binarize_density_grid(dg, force_occupied=True)
+    occ_state, oaux = ostep(occ_state, occ, images, poses,
+                            jax.random.fold_in(key, 100))
+    float(oaux["loss"])
+    t0 = time.perf_counter()
+    for i in range(1, n_dispatch + 1):
+        occ_state, oaux = ostep(occ_state, occ, images, poses,
+                                jax.random.fold_in(key, 100 + i))
+    float(oaux["loss"])
+    occ_rays_per_sec = n_dispatch * INNER * N_RAND / (
+        time.perf_counter() - t0
+    )
+
     print(
         json.dumps(
             {
@@ -81,6 +110,7 @@ def main():
                 "value": round(rays_per_sec, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / REFERENCE_RAYS_PER_SEC, 3),
+                "train_occ_rays_per_sec": round(occ_rays_per_sec, 1),
             }
         )
     )
