@@ -234,9 +234,16 @@ def _reference_stubs(torch):
     return {"torchtyping": tt, "typeguard": tg}
 
 
-def train_jax(scene, args, state, ccfg, fcfg, steps, eval_every, log):
+def train_jax(scene, args, state, ccfg, fcfg, steps, eval_every, log,
+              matmul_precision="float32", train_seed=1):
+    """``matmul_precision``: JAX's TPU default lowers fp32 matmuls to
+    single-pass bf16; the torch-CPU reference computes true fp32, so parity
+    runs pin 'float32' (bf16_3x passes) — measured: the default costs
+    ~0.6 dB by 15k steps on the synthetic scene."""
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", matmul_precision)
 
     from nerf_shared_tpu.render.renderer import RenderConfig, Renderer
     from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
@@ -278,7 +285,7 @@ def train_jax(scene, args, state, ccfg, fcfg, steps, eval_every, log):
 
     images_d = jnp.asarray(images[i_train])
     poses_d = jnp.asarray(poses[i_train][:, :3, :4])
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(train_seed)
     t0 = time.perf_counter()
     i = 0
     while i < steps:
@@ -307,6 +314,8 @@ def main():
     ap.add_argument("--lrate_decay", type=int, default=250)
     ap.add_argument("--precrop_iters", type=int, default=0)
     ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--matmul_precision", type=str, default="float32")
+    ap.add_argument("--jax_train_seed", type=int, default=1)
     ap.add_argument("--log", type=str, default="benchmarks/parity_log.jsonl")
     a = ap.parse_args()
 
@@ -323,7 +332,9 @@ def main():
 
     log = open(a.log, "w")
     jax_psnr = train_jax(scene, args, state, ccfg, fcfg, a.steps,
-                         a.eval_every, log)
+                         a.eval_every, log,
+                         matmul_precision=a.matmul_precision,
+                         train_seed=a.jax_train_seed)
     torch_psnr = None
     if not a.skip_torch and os.path.isdir(REFERENCE):
         torch_psnr = train_torch(scene, args, init_tar, a.steps,

@@ -241,9 +241,20 @@ def train(args):
         )
 
     def _occ_for(state, step):
-        if occ_maint is None:
-            return None
-        return occ_maint.get(state.params["fine"], step)
+        if occ_maint is not None:
+            return occ_maint.get(state.params["fine"], step)
+        if train_occ:
+            # --train_occ leaves the coarse net untrained (the grid replaces
+            # the hierarchy), so the dense hierarchical hook path would
+            # importance-sample from garbage; render hooks fall back to the
+            # TRAINING grid instead (all-occupied during warmup)
+            from nerf_shared_tpu.train.occ_train import binarize_density_grid
+
+            return binarize_density_grid(
+                _dg["dg"], alpha_threshold=args.occ_alpha_thresh,
+                force_occupied=step < args.train_occ_warmup,
+            )
+        return None
 
     key = jax.random.PRNGKey(args.jax_seed)
     N_iters = args.N_iters + 1

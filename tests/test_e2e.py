@@ -344,14 +344,19 @@ def test_e2e_train_occ(tmp_path):
     _write_scene(datadir)
     cfg_path = _write_config(
         root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
-        train_occ=True, train_occ_res=8, train_occ_candidates=12,
-        train_occ_keep=6, precrop_iters=0, chunk=256,
+        i_testset=16, train_occ=True, train_occ_res=8,
+        train_occ_candidates=12, train_occ_keep=6, precrop_iters=0,
+        chunk=256,
     )
 
     args = config_parser().parse_args(["--config", cfg_path])
     run(args)
     expdir = os.path.join(logdir, "tiny_e2e")
     assert glob.glob(os.path.join(expdir, "*.tar"))
+    # the i_testset hook must render through the TRAINING grid fallback
+    # (the coarse net is untrained under --train_occ; no --occ_grid set)
+    hook_pngs = glob.glob(os.path.join(expdir, "testset_000016", "*.png"))
+    assert len(hook_pngs) == 2
 
     args2 = config_parser().parse_args(
         ["--config", cfg_path, "--render_only", "--render_test",
