@@ -250,11 +250,15 @@ def train_jax(scene, args, state, ccfg, fcfg, steps, eval_every, log,
     from nerf_shared_tpu.train.step import make_fused_train_step
 
     images, poses, K, H, W, i_train, i_test = scene
+    fused = bool(getattr(args, "fused_backward", False)) and (
+        jax.default_backend() == "tpu"
+    )
     rcfg = RenderConfig(
         N_samples=args.N_samples, N_importance=args.N_importance,
         near=NEAR, far=FAR, white_bkgd=args.white_bkgd,
         use_viewdirs=args.use_viewdirs, perturb=args.perturb,
         raw_noise_std=args.raw_noise_std,
+        fused_backward=fused, use_pallas=fused,
     )
     spec = PixelSamplerSpec.from_K(
         H, W, K, args.N_rand, single_image=True,
@@ -316,6 +320,9 @@ def main():
     ap.add_argument("--skip_torch", action="store_true")
     ap.add_argument("--matmul_precision", type=str, default="float32")
     ap.add_argument("--jax_train_seed", type=int, default=1)
+    ap.add_argument("--fused_backward", action="store_true",
+                    help="jax side trains through the fused Pallas kernels "
+                         "(the production path) instead of XLA autodiff")
     ap.add_argument("--log", type=str, default="benchmarks/parity_log.jsonl")
     a = ap.parse_args()
 
@@ -325,6 +332,7 @@ def main():
               precrop_iters=a.precrop_iters)
     scene = make_scene(size=a.size)
     args = make_args(a.steps, hp)
+    args.fused_backward = a.fused_backward
 
     os.makedirs(".scratch_parity", exist_ok=True)
     init_tar = ".scratch_parity/init.tar"

@@ -83,6 +83,14 @@ def run(args) -> None:
 
 
 def train(args):
+    # Quality default: JAX lowers fp32 matmuls to single-pass bf16 on TPU,
+    # which costs ~0.5-0.9 dB by 15k steps vs the torch reference
+    # (benchmarks/parity_study.py, BASELINE.md). Pin float32 (bf16x3
+    # passes) unless the user explicitly opted into bf16 compute; the fast
+    # path (--fused_backward) is unaffected — its kernels keep the encoder
+    # and accumulation fp32 and measure at parity.
+    if getattr(args, "precision", "fp32") != "bf16":
+        jax.config.update("jax_default_matmul_precision", "float32")
     if getattr(args, "debug_nans", False):
         from nerf_shared_tpu.utils.debug import enable_nan_checks
 
