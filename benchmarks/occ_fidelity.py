@@ -132,8 +132,9 @@ def main():
                           "psnr_vs_dense_db": round(p, 2),
                           "s_per_frame": round(t, 4)}))
 
-    for C, Kp, corners in ((64, 16, False), (64, 16, True), (128, 8, False),
-                           (128, 16, False), (64, 32, False)):
+    for C, Kp, corners in ((64, 8, False), (64, 16, False), (64, 16, True),
+                           (128, 8, False), (128, 16, False),
+                           (64, 32, False)):
         (ret), t = timed(lambda C=C, Kp=Kp, co=corners: render_image_froxels(
             fine, occ, rcfg, Rs, Rs, Kr, c2w, n_depth=C, n_keep=Kp,
             corner_rays=co))
