@@ -264,6 +264,47 @@ def train(args):
             )
         return None
 
+    # multi-chip eval hooks: with a mesh and an occupancy source, hooks
+    # render through the SHARDED froxel path (rays split over 'data',
+    # pixels all-gathered) — a single-device hook program would leave
+    # n-1 chips idle on real pods
+    sharded_hook = None
+    if mesh is not None and fcfg is not None and (
+        occ_maint is not None or train_occ
+    ):
+        from nerf_shared_tpu.render.froxels import (
+            build_froxels,
+            make_sharded_render_froxel,
+        )
+
+        eval_rcfg = _dc.replace(
+            renderer.cfg, perturb=0.0, raw_noise_std=0.0,
+            use_pallas=False, fused_backward=False,
+        )
+        _sh_fn = make_sharded_render_froxel(
+            mesh, eval_rcfg, fcfg, H, W, tile=args.occ_tile,
+            n_keep=args.occ_keep,
+        )
+
+        def sharded_hook(state, step):
+            occ_g = _occ_for(state, step)
+            if occ_g is None:
+                return None
+
+            def render_one(c2w, k):
+                fro = build_froxels(
+                    occ_g, H, W, ds.K, c2w, float(eval_rcfg.near),
+                    float(eval_rcfg.far), n_depth=args.occ_candidates,
+                    tile=args.occ_tile,
+                )
+                if k is None:
+                    k = jax.random.PRNGKey(0)
+                return _sh_fn(
+                    state.params["fine"], fro, ds.K, c2w, k
+                )["rgb_map"]
+
+            return render_one
+
     key = jax.random.PRNGKey(args.jax_seed)
     N_iters = args.N_iters + 1
     print(f"Begin: {len(ds.i_train)} train views, {len(ds.i_test)} test views, "
@@ -313,6 +354,8 @@ def train(args):
                 occ_keep=args.occ_keep,
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
+                render_fn=(sharded_hook(state, last)
+                           if sharded_hook else None),
             )
             print(f"Saved test set renders to {testsavedir}")
 
@@ -324,7 +367,10 @@ def train(args):
             coarse, fine = _models_from_state(state, ccfg, fcfg)
             val_i = int(ds.i_val[(last // args.i_img) % len(ds.i_val)])
             occ_g = _occ_for(state, last)
-            if occ_g is not None:
+            rfn = sharded_hook(state, last) if sharded_hook else None
+            if rfn is not None:
+                rgb = rfn(jnp.asarray(ds.poses[val_i][:3, :4]), None)
+            elif occ_g is not None:
                 rgb, _ = renderer.render_image_occ(
                     H, W, ds.K, jnp.asarray(ds.poses[val_i][:3, :4]),
                     fine if fine is not None else coarse, occ_g,
@@ -367,6 +413,8 @@ def train(args):
                 occ_keep=args.occ_keep,
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
+                render_fn=(sharded_hook(state, last)
+                           if sharded_hook else None),
             )
             print(f"Saved render-path video to {videodir}")
 

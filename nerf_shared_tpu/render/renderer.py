@@ -520,6 +520,7 @@ class Renderer:
         occ_keep: int = 64,
         occ_mode: str = "froxel",
         occ_tile: int = 8,
+        render_fn=None,
     ):
         """Render poses to PNGs (+ optional mp4 / TensorBoard), reference
         render_utils.py:293-319. Rendering is done in eval mode with
@@ -540,7 +541,11 @@ class Renderer:
             os.makedirs(save_directory, exist_ok=True)
         rgbs = []
         for i, c2w in enumerate(np.asarray(batch_c2w)):
-            if occ_grid is not None:
+            if render_fn is not None:
+                # caller-supplied pose renderer (e.g. the mesh-sharded
+                # froxel path from apps/train multi-chip hooks)
+                rgb = render_fn(jnp.asarray(c2w[:3, :4]), key)
+            elif occ_grid is not None:
                 rgb, _ = eval_renderer.render_image_occ(
                     H, W, K, jnp.asarray(c2w[:3, :4]),
                     fine_model if fine_model is not None else coarse_model,
