@@ -45,19 +45,30 @@ def _models_from_state(state, ccfg, fcfg):
     return coarse, fine
 
 
+def _occ_aabb(renderer, ds, H, W, K):
+    """Scene AABB for occupancy grids: the camera-frustum hull in world
+    space, or the NDC cube (with a half-pixel margin) for NDC scenes —
+    LLFF models are trained on NDC points, so the grid must live there."""
+    import numpy as _np
+
+    if renderer.cfg.ndc:
+        return (_np.array([-1.05, -1.05, -0.001], _np.float32),
+                _np.array([1.05, 1.05, 1.001], _np.float32))
+    from nerf_shared_tpu.render.occupancy import aabb_from_poses
+
+    return aabb_from_poses(
+        H, W, K, ds.poses, renderer.cfg.near, renderer.cfg.far
+    )
+
+
 def _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine):
     """Occupancy grid from the current density field (render/occupancy.py),
     or None when --occ_grid is off."""
     if getattr(args, "occ_grid", 0) <= 0:
         return None
-    from nerf_shared_tpu.render.occupancy import (
-        aabb_from_poses,
-        build_occupancy_grid,
-    )
+    from nerf_shared_tpu.render.occupancy import build_occupancy_grid
 
-    lo, hi = aabb_from_poses(
-        H, W, K, ds.poses, renderer.cfg.near, renderer.cfg.far
-    )
+    lo, hi = _occ_aabb(renderer, ds, H, W, K)
     model = fine if fine is not None else coarse
     grid = build_occupancy_grid(
         model.params, model.cfg, renderer.cfg, lo, hi,
@@ -154,12 +165,9 @@ def train(args):
         # fine-only sampling replaces the coarse+fine hierarchy — several-x
         # rays/s at matched eval quality (benchmarks/ttq_occ.py). The
         # density grid refreshes between supersteps from the live model.
-        if rcfg.ndc:
-            raise SystemExit("--train_occ supports non-NDC scenes only")
         if fcfg is None:
             raise SystemExit("--train_occ requires N_importance > 0 "
                              "(the fine network is the trained one)")
-        from nerf_shared_tpu.render.occupancy import aabb_from_poses
         from nerf_shared_tpu.train.occ_train import (
             binarize_density_grid,
             init_density_grid,
@@ -167,9 +175,7 @@ def train(args):
             update_density_grid,
         )
 
-        lo_t, hi_t = aabb_from_poses(
-            H, W, ds.K, ds.poses, renderer.cfg.near, renderer.cfg.far
-        )
+        lo_t, hi_t = _occ_aabb(renderer, ds, H, W, ds.K)
         _dg = {"dg": init_density_grid(lo_t, hi_t, args.train_occ_res)}
         occ_step = make_occ_train_step(
             rcfg, fcfg, spec,
@@ -234,14 +240,9 @@ def train(args):
     # OccupancyMaintainer) — train-time eval stops paying dense-render prices
     occ_maint = None
     if getattr(args, "occ_grid", 0) > 0 and fcfg is not None:
-        from nerf_shared_tpu.render.occupancy import (
-            OccupancyMaintainer,
-            aabb_from_poses,
-        )
+        from nerf_shared_tpu.render.occupancy import OccupancyMaintainer
 
-        lo, hi = aabb_from_poses(
-            H, W, ds.K, ds.poses, renderer.cfg.near, renderer.cfg.far
-        )
+        lo, hi = _occ_aabb(renderer, ds, H, W, ds.K)
         occ_maint = OccupancyMaintainer(
             renderer.cfg, fcfg, lo, hi,
             resolution=args.occ_grid,
@@ -295,7 +296,7 @@ def train(args):
                 fro = build_froxels(
                     occ_g, H, W, ds.K, c2w, float(eval_rcfg.near),
                     float(eval_rcfg.far), n_depth=args.occ_candidates,
-                    tile=args.occ_tile,
+                    tile=args.occ_tile, ndc=eval_rcfg.ndc,
                 )
                 if k is None:
                     k = jax.random.PRNGKey(0)

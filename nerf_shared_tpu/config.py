@@ -251,7 +251,8 @@ def config_parser() -> ConfigArgumentParser:
                              'candidates through a live density grid and '
                              'train the fine network on K occupied samples '
                              'per ray (no coarse pass) — several-x rays/s '
-                             'at matched time-to-quality. Non-NDC scenes.')
+                             'at matched time-to-quality. NDC scenes use a '
+                             'grid over the NDC cube.')
     parser.add_argument("--train_occ_res", type=int, default=64,
                         help='resolution of the training density grid')
     parser.add_argument("--train_occ_candidates", type=int, default=64,

@@ -85,17 +85,23 @@ def _strata(near: float, far: float, n_depth: int, lindisp: bool):
     )
 
 
-def _tile_dirs(H: int, W: int, K, c2w, tile: int, offsets):
-    """Camera-frame ray dirs at fractional pixel coords (ty*tile + oy,
+def _tile_dirs(H: int, W: int, K, c2w, tile: int, offsets,
+               ndc: bool = False):
+    """Per-tile probe rays at fractional pixel coords (ty*tile + oy,
     tx*tile + ox) for each (oy, ox) in ``offsets`` — the same pinhole
-    convention as ops/rays.get_rays (x right, y up, looking down -z)."""
+    convention as ops/rays.get_rays (x right, y up, looking down -z).
+    With ``ndc``, rays are warped by ops/rays.ndc_rays so probe points
+    live in the same NDC space the LLFF model is trained in (origins then
+    vary per ray). Returns (origins [P, Ht, Wt, 3], dirs [P, Ht, Wt, 3])."""
+    from nerf_shared_tpu.ops.rays import ndc_rays
+
     K = jnp.asarray(K)
     c2w = jnp.asarray(c2w)
     Ht = -(-H // tile)
     Wt = -(-W // tile)
     ty = jnp.arange(Ht, dtype=jnp.float32) * tile
     tx = jnp.arange(Wt, dtype=jnp.float32) * tile
-    ds = []
+    os_, ds = [], []
     for oy, ox in offsets:
         i, j = jnp.meshgrid(tx + ox, ty + oy, indexing="xy")
         dirs = jnp.stack(
@@ -103,14 +109,19 @@ def _tile_dirs(H: int, W: int, K, c2w, tile: int, offsets):
              -jnp.ones_like(i)],
             axis=-1,
         )
-        ds.append(jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3]))
-    return jnp.stack(ds), c2w[:3, -1]  # [P, Ht, Wt, 3], [3]
+        rd = jnp.einsum("hwc,rc->hwr", dirs, c2w[:3, :3])
+        ro = jnp.broadcast_to(c2w[:3, -1], rd.shape)
+        if ndc:
+            ro, rd = ndc_rays(H, W, K[0, 0], 1.0, ro, rd)
+        os_.append(ro)
+        ds.append(rd)
+    return jnp.stack(os_), jnp.stack(ds)  # [P, Ht, Wt, 3] each
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "near", "far", "tile", "n_depth", "lindisp",
-                     "dilate", "dilate_z", "corner_rays"),
+                     "dilate", "dilate_z", "corner_rays", "ndc"),
 )
 def build_froxels(
     occ: OccupancyGrid,
@@ -126,6 +137,7 @@ def build_froxels(
     dilate: int = 1,
     dilate_z: int = 0,
     corner_rays: bool = False,
+    ndc: bool = False,
 ) -> FroxelGrid:
     """Resample the world occupancy grid into camera froxels for one pose.
 
@@ -146,12 +158,12 @@ def build_froxels(
     if corner_rays:
         offsets += [(0.0, 0.0), (0.0, tile - 1.0), (tile - 1.0, 0.0),
                     (tile - 1.0, tile - 1.0)]
-    dirs, origin = _tile_dirs(H, W, K, c2w, tile, offsets)  # [P, Ht, Wt, 3]
+    origins, dirs = _tile_dirs(H, W, K, c2w, tile, offsets, ndc=ndc)
 
     zs = jnp.stack([lower, z0, upper])  # [3, C] — probe both edges + center
     # pts [P, 3, Ht, Wt, C, 3]
     pts = (
-        origin
+        origins[:, None, :, :, None, :]
         + dirs[:, None, :, :, None, :] * zs[None, :, None, None, :, None]
     )
     bits = jnp.any(lookup(occ, pts), axis=(0, 1))  # [Ht, Wt, C]
@@ -194,14 +206,20 @@ def _broadcast_tiles(x: jnp.ndarray, H: int, W: int, tile: int):
 
 
 def _ray_inputs(rcfg: RenderConfig, H: int, W: int, K, c2w):
-    """Flat per-ray tensors for one pose: origins, dirs, (viewdirs)."""
-    from nerf_shared_tpu.ops.rays import get_rays
+    """Flat per-ray tensors for one pose: origins, dirs, (viewdirs).
+    Matches Renderer._pack_rays semantics: viewdirs normalize the PRE-warp
+    directions, then the NDC warp (if any) remaps origins/dirs."""
+    from nerf_shared_tpu.ops.rays import get_rays, ndc_rays
 
     rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
     viewdirs = None
     if rcfg.use_viewdirs:
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         viewdirs = viewdirs.reshape(-1, 3)
+    if rcfg.ndc:
+        rays_o, rays_d = ndc_rays(
+            H, W, jnp.asarray(K)[0, 0], 1.0, rays_o, rays_d
+        )
     return rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), viewdirs
 
 
@@ -344,7 +362,7 @@ def render_image_froxels(
             occ, H, W, K, c2w, float(rcfg.near), float(rcfg.far),
             n_depth=n_depth,
             tile=tile, lindisp=rcfg.lindisp, dilate=dilate,
-            dilate_z=dilate_z, corner_rays=corner_rays,
+            dilate_z=dilate_z, corner_rays=corner_rays, ndc=rcfg.ndc,
         )
     block = min(chunk, H * W)
     return _froxel_render_blocks(

@@ -259,7 +259,9 @@ def make_occ_train_step(
 
     from nerf_shared_tpu.train.pipeline import sample_ray_batch
 
-    assert not rcfg.ndc, "--train_occ supports non-NDC scenes (blender-style)"
+    # NDC scenes work too: pack_ray_batch applies the warp, so candidates,
+    # lookups, and the density grid all live in NDC space (the grid's AABB
+    # must be the NDC cube — apps/train._occ_aabb handles that)
 
     sharded = mesh is not None
     if sharded:

@@ -271,6 +271,20 @@ def test_e2e_llff_ndc_batching_mode(tmp_path):
     outdir = render_only(args2)
     assert glob.glob(os.path.join(outdir, "*.png"))
 
+    # NDC + occupancy: the grid/froxels must live in NDC space (the LLFF
+    # model is trained on NDC points) — finite output, no world-space AABB
+    args3 = config_parser().parse_args(
+        ["--config", cfg, "--render_only", "--render_test", "--chunk", "256",
+         "--occ_grid", "8", "--occ_candidates", "12", "--occ_keep", "6"]
+    )
+    outdir3 = render_only(args3)
+    pngs = glob.glob(os.path.join(outdir3, "*.png"))
+    assert pngs
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
+
 
 def test_e2e_occ_grid_render_and_video(tmp_path):
     """--occ_grid drives both the render_only flow and the i_video training

@@ -153,8 +153,9 @@ def test_froxels_conservative_vs_center_ray_lookup():
                           dilate=1)
     # center ray of each tile, candidates at the deterministic depths
     offs = (tile - 1) / 2.0
-    dirs, origin = F._tile_dirs(H, W, K, c2w, tile, [(offs, offs)])
-    pts = origin + dirs[0][:, :, None, :] * fro.z0[None, None, :, None]
+    origins, dirs = F._tile_dirs(H, W, K, c2w, tile, [(offs, offs)])
+    pts = (origins[0][:, :, None, :]
+           + dirs[0][:, :, None, :] * fro.z0[None, None, :, None])
     hit = np.asarray(lookup(occ, pts))         # [Ht, Wt, C]
     bits = np.asarray(fro.bits)
     assert hit.any()
@@ -218,4 +219,36 @@ def test_sharded_froxel_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(single[k]), np.asarray(sharded[k]),
             rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
+def test_ndc_all_occupied_equals_dense_coarse():
+    """NDC variant of the bit-exact degeneracy oracle: froxel probes and
+    per-ray inputs must apply the same ndc_rays warp the dense packer does
+    (LLFF models live in NDC space)."""
+    model, cfg = _model()
+    rcfg = _rcfg(ndc=True, near=0.0, far=1.0)
+    H = W = 16
+    K, _ = _cam(H, W)
+    # forward-facing camera (LLFF-style): identity rotation at the origin
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32)[:3])
+    out = F.render_image_froxels(
+        model, _full_grid(), rcfg, H, W, K, c2w, n_depth=12, n_keep=12,
+        tile=4, dilate=0,
+    )
+    renderer = Renderer(**{
+        "N_samples": 12, "N_importance": 0, "near": 0.0, "far": 1.0,
+        "perturb": 0.0, "white_bkgd": True, "ndc": True,
+    })
+    rays_flat, _ = renderer._pack_rays(H, W, K, None, c2w, None)
+    dense = render_rays(
+        model.params, None, rays_flat, jax.random.PRNGKey(0),
+        _rcfg(N_samples=12, N_importance=0, ndc=True, near=0.0, far=1.0),
+        cfg, None,
+    )
+    assert (np.asarray(out["n_active"]) == 12).all()
+    for k in ("rgb_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]).reshape(np.asarray(dense[k]).shape),
+            np.asarray(dense[k]), rtol=1e-5, atol=1e-5, err_msg=k,
         )
