@@ -372,6 +372,15 @@ def test_e2e_train_occ(tmp_path):
     hook_pngs = glob.glob(os.path.join(expdir, "testset_000016", "*.png"))
     assert len(hook_pngs) == 2
 
+    # resume: the density grid re-bootstraps from its uninitialized
+    # sentinel (binarizes occupied) and the first update re-probes the
+    # restored model — training continues past the checkpoint
+    args_r = config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "32", "--i_weights", "32"]
+    )
+    run(args_r)
+    assert glob.glob(os.path.join(expdir, "000032*"))
+
     args2 = config_parser().parse_args(
         ["--config", cfg_path, "--render_only", "--render_test",
          "--chunk", "256", "--occ_grid", "8", "--occ_candidates", "12",
