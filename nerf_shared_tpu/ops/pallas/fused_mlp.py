@@ -308,6 +308,9 @@ def _fused_forward_impl(params, cfg: NeRFConfig, x_pad, compute_dtype, tile):
             flops=int(flops_per_pt) * n, bytes_accessed=n * (8 + LANE) * 4,
             transcendentals=n * blocks["F"].shape[1],
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x_pad.astype(jnp.float32), *weight_args)
     return out
@@ -318,7 +321,9 @@ def _fused_forward_impl(params, cfg: NeRFConfig, x_pad, compute_dtype, tile):
 # ---------------------------------------------------------------------------
 
 # ray-tile sweep on v5e (2.1M-point eval batches): 512 -> 30.5, 1024 -> 36.3,
-# 2048 -> 37.7 Mpts/s; 4096 exceeds the 16M scoped-VMEM stack limit
+# 2048 -> 80.5, 4096 -> 81.4, 8192 -> 73.7 Mpts/s (re-swept round 2 with the
+# 100MB VMEM limit; ~111 TFLOP/s effective at 2048 — the kernel is at its
+# matmul roofline, so 2048 stays the default)
 TILE = 2048
 
 
