@@ -72,10 +72,22 @@ def main(H=800, W=800, chunk=32768, res=128):
             return float(jnp.sum(ret["rgb_map"]))
         return run
 
+    from nerf_shared_tpu.render.froxels import render_image_froxels
+
+    def make_froxel_run(C, Kp):
+        def run():
+            ret = render_image_froxels(
+                model, occ, rcfg, H, W, K, jnp.asarray(c2w),
+                n_depth=C, n_keep=Kp)
+            return float(jnp.sum(ret["rgb_map"]))
+        return run
+
     results = {}
     for name, fn in (("dense 64+128", run_dense),
                      ("occ C=128 K=64", make_occ_run(False)),
-                     ("occ + ray gate", make_occ_run(True))):
+                     ("occ + ray gate", make_occ_run(True)),
+                     ("froxel C=64 K=16", make_froxel_run(64, 16)),
+                     ("froxel C=64 K=32", make_froxel_run(64, 32))):
         fn()  # compile
         t0 = time.perf_counter()
         n_rep = 3
@@ -84,8 +96,9 @@ def main(H=800, W=800, chunk=32768, res=128):
         dt = (time.perf_counter() - t0) / n_rep
         results[name] = dt
         print(f"{name}: {dt:.3f} s/frame ({1/dt:.2f} fps)")
-    print(f"speedup vs dense: "
-          f"{results['dense 64+128']/results['occ + ray gate']:.2f}x")
+    print(f"speedup vs dense: grid-occ "
+          f"{results['dense 64+128']/results['occ + ray gate']:.2f}x, "
+          f"froxel {results['dense 64+128']/results['froxel C=64 K=16']:.2f}x")
 
 
 if __name__ == "__main__":
