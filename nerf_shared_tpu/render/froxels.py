@@ -325,6 +325,71 @@ def _froxel_render_blocks(
     return {k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()}
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("rcfg", "H", "W", "tile", "n_keep"),
+)
+def _tile_major_prelude(fro: FroxelGrid, rcfg: RenderConfig, H: int, W: int,
+                        K, c2w, tile: int, n_keep: int):
+    """Ray inputs + selections in TILE-MAJOR layout [Ht*Wt, tile², ...]
+    (computed on the tile-padded image), plus the per-tile activity mask —
+    the prelude of the empty-tile-skipping path."""
+    Ht, Wt, C = fro.bits.shape
+    Hp, Wp = Ht * tile, Wt * tile
+    rays_o, rays_d, viewdirs = _ray_inputs(rcfg, Hp, Wp, K, c2w)
+    z_lo, z_hi, valid = _selection_maps(fro, rcfg, Hp, Wp, tile, n_keep)
+
+    def tm(a):
+        a = a.reshape((Ht, tile, Wt, tile) + a.shape[1:])
+        a = jnp.swapaxes(a, 1, 2)
+        return a.reshape((Ht * Wt, tile * tile) + a.shape[4:])
+
+    parts = [tm(rays_o), tm(rays_d), tm(z_lo), tm(z_hi), tm(valid)]
+    if viewdirs is not None:
+        parts.append(tm(viewdirs))
+    active = jnp.any(fro.bits.reshape(-1, C), axis=-1)   # [Ht*Wt]
+    return parts, active
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rcfg", "fcfg", "H", "W", "tile", "n_keep", "block"),
+)
+def _render_tiles_scatter(
+    params_fine, parts, idx, rcfg, fcfg,
+    H: int, W: int, tile: int, n_keep: int, block: int, key,
+):
+    """Render the tiles ``idx`` selects (already activity-first, padded to a
+    static count) and scatter their pixels into full [H, W] maps whose
+    skipped tiles hold the exact background."""
+    t2 = tile * tile
+    sel_parts = [p[idx].reshape((-1,) + p.shape[2:]) for p in parts]
+    out = _map_ray_blocks(params_fine, rcfg, fcfg, sel_parts,
+                          len(parts) == 6, key, block)
+    T = parts[0].shape[0]
+    Ht = -(-H // tile)
+    Wt = -(-W // tile)
+    bg = 1.0 if rcfg.white_bkgd else 0.0
+    full = {
+        "rgb_map": jnp.full((T, t2, 3), bg, jnp.float32),
+        "disp_map": jnp.full((T, t2), 1e10, jnp.float32),
+        "acc_map": jnp.zeros((T, t2), jnp.float32),
+        "n_active": jnp.zeros((T, t2), jnp.int32),
+    }
+    res = {}
+    for k, v in out.items():
+        trailing = v.shape[1:]          # e.g. (3,) for rgb, () for scalars
+        tiles_v = v.reshape((idx.shape[0], t2) + trailing)
+        # idx rows are unique (an argsort prefix); inactive selected tiles
+        # write background-equal outputs (their samples are all invalid)
+        fullk = full[k].at[idx].set(tiles_v.astype(full[k].dtype))
+        fullk = fullk.reshape((Ht, Wt, tile, tile) + trailing)
+        fullk = jnp.swapaxes(fullk, 1, 2)
+        fullk = fullk.reshape((Ht * tile, Wt * tile) + trailing)
+        res[k] = fullk[:H, :W]
+    return res
+
+
 def render_image_froxels(
     fine_model,                  # NeRF wrapper or (params, cfg)
     occ: OccupancyGrid,
@@ -343,15 +408,24 @@ def render_image_froxels(
     corner_rays: bool = False,
     chunk: int = 1024 * 64,
     froxels: Optional[FroxelGrid] = None,
+    skip_empty: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Render one pose with froxel-gated sampling: build (or reuse) the
     frame's FroxelGrid, select the K nearest occupied depth bins per pixel
     tile, and evaluate the network only at one stratified sample inside each
     selected bin. Returns [H, W, ...] maps (rgb/disp/acc/n_active).
 
+    ``skip_empty`` (default) additionally skips whole tiles with zero
+    occupied bins — their rays are all-padding and composite to the exact
+    background, so the output is IDENTICAL to the unskipped path (tested)
+    while the MLP bill drops by the empty-tile fraction. The compaction
+    unit is the tile (tile² rays), so it costs one host fetch of the
+    active-tile count and a 1-per-tile row gather — none of the per-ray
+    compaction that made ray-level gating a net loss at small K
+    (BASELINE.md). Tile counts are pow2-bucketed to bound compile count.
+
     Equivalent to render_flat_rays_occ with C=n_depth, K=n_keep up to the
-    froxel discretization (see module docstring); ~2x faster at K<=16
-    because triage is amortized over tile² rays.
+    froxel discretization (see module docstring).
     """
     pf, fcfg_m = _model_parts(fine_model)
     fcfg = fcfg if fcfg is not None else fcfg_m
@@ -364,10 +438,40 @@ def render_image_froxels(
             tile=tile, lindisp=rcfg.lindisp, dilate=dilate,
             dilate_z=dilate_z, corner_rays=corner_rays, ndc=rcfg.ndc,
         )
-    block = min(chunk, H * W)
-    return _froxel_render_blocks(
-        pf, froxels, rcfg, fcfg, H, W, jnp.asarray(np.asarray(K)),
-        jnp.asarray(c2w), key, tile, n_keep, block,
+    K_d = jnp.asarray(np.asarray(K))
+    c2w_d = jnp.asarray(c2w)
+    if not skip_empty:
+        block = min(chunk, H * W)
+        return _froxel_render_blocks(
+            pf, froxels, rcfg, fcfg, H, W, K_d, c2w_d, key, tile, n_keep,
+            block,
+        )
+
+    parts, active = _tile_major_prelude(
+        froxels, rcfg, H, W, K_d, c2w_d, tile, n_keep
+    )
+    active_h = np.asarray(active)
+    T = active_h.shape[0]
+    n_act = int(active_h.sum())
+    if n_act == 0:
+        Ht = -(-H // tile)
+        Wt = -(-W // tile)
+        bg = 1.0 if rcfg.white_bkgd else 0.0
+        return {
+            "rgb_map": jnp.full((H, W, 3), bg, jnp.float32),
+            "disp_map": jnp.full((H, W), 1e10, jnp.float32),
+            "acc_map": jnp.zeros((H, W), jnp.float32),
+            "n_active": jnp.zeros((H, W), jnp.int32),
+        }
+    order = np.argsort(~active_h, kind="stable")
+    # bucket the active-tile count to multiples of 512 (not pow2 — rounding
+    # 45% up to 82% of tiles would erase the skip's gain); <=dozens of
+    # compiled shapes over a renderer's lifetime, usually 1-2 per scene
+    n_pad = min(T, -(-max(n_act, 1) // 512) * 512)
+    idx = jnp.asarray(order[:n_pad].copy())
+    block = min(chunk, n_pad * tile * tile)
+    return _render_tiles_scatter(
+        pf, parts, idx, rcfg, fcfg, H, W, tile, n_keep, block, key,
     )
 
 

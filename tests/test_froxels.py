@@ -252,3 +252,41 @@ def test_ndc_all_occupied_equals_dense_coarse():
             np.asarray(out[k]).reshape(np.asarray(dense[k]).shape),
             np.asarray(dense[k]), rtol=1e-5, atol=1e-5, err_msg=k,
         )
+
+
+def test_skip_empty_is_exact():
+    """Empty-tile skipping must be bit-identical to the unskipped path at
+    perturb=0 (skipped tiles are all-padding and composite to the exact
+    background). With jitter the two paths draw from different PRNG block
+    layouts — there the selection (n_active) must still match exactly and
+    zero-active rays must be pure background."""
+    model, cfg = _model()
+    H = W = 32
+    K, c2w = _cam(H, W)
+    rng = np.random.default_rng(9)
+    grid = jnp.asarray(rng.random((8, 8, 8)) < 0.05)   # sparse scene
+    occ = OccupancyGrid(grid, jnp.array([-1.0, -1, -1]),
+                        jnp.array([1.0, 1, 1]))
+    for rcfg in (_rcfg(), _rcfg(white_bkgd=False)):
+        a = F.render_image_froxels(model, occ, rcfg, H, W, K, c2w,
+                                   n_depth=16, n_keep=4, tile=4,
+                                   skip_empty=False)
+        b = F.render_image_froxels(model, occ, rcfg, H, W, K, c2w,
+                                   n_depth=16, n_keep=4, tile=4,
+                                   skip_empty=True)
+        for k in ("rgb_map", "disp_map", "acc_map", "n_active"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=str((k, rcfg.white_bkgd)))
+
+    rcfg = _rcfg(perturb=1.0)
+    a = F.render_image_froxels(model, occ, rcfg, H, W, K, c2w,
+                               n_depth=16, n_keep=4, tile=4,
+                               skip_empty=False)
+    b = F.render_image_froxels(model, occ, rcfg, H, W, K, c2w,
+                               n_depth=16, n_keep=4, tile=4,
+                               skip_empty=True)
+    np.testing.assert_array_equal(np.asarray(a["n_active"]),
+                                  np.asarray(b["n_active"]))
+    empty = np.asarray(a["n_active"]) == 0
+    np.testing.assert_allclose(np.asarray(b["rgb_map"])[empty], 1.0)
+    np.testing.assert_allclose(np.asarray(a["rgb_map"])[empty], 1.0)
