@@ -136,10 +136,17 @@ def export_init_tar(path, seed, args):
     return state, ccfg, fcfg
 
 
-def train_torch(scene, args, init_tar, steps, eval_every, log):
+def train_torch(scene, args, init_tar, steps, eval_every, log,
+                resume_path=None, resume_every=0):
     """The reference's own training loop, verbatim semantics
     (reference main.py:67-143: loss = fine MSE + coarse MSE, Adam,
-    lr = lrate * 0.1^(global_step / (lrate_decay*1000)))."""
+    lr = lrate * 0.1^(global_step / (lrate_decay*1000))).
+
+    ``resume_path``/``resume_every``: optional crash-safe checkpointing for
+    multi-hour CPU runs — saves model+optimizer+RNG state every
+    ``resume_every`` steps and resumes from ``resume_path`` if present, so
+    the long-horizon parity run (VERDICT round-2 item 2) survives restarts.
+    """
     sys.path.insert(0, REFERENCE)
     import torch
 
@@ -158,6 +165,17 @@ def train_torch(scene, args, init_tar, steps, eval_every, log):
     fine.load_state_dict(ckpt["fine_model_state_dict"], strict=True)
     optimizer = rutils.get_optimizer(coarse, fine, args)
     renderer = rutils.get_renderer(args, {"near": NEAR, "far": FAR})
+
+    start_step = 0
+    if resume_path and os.path.exists(resume_path):
+        rck = torch.load(resume_path, map_location="cpu", weights_only=False)
+        coarse.load_state_dict(rck["coarse_model_state_dict"], strict=True)
+        fine.load_state_dict(rck["fine_model_state_dict"], strict=True)
+        optimizer.load_state_dict(rck["optimizer_state_dict"])
+        torch.set_rng_state(rck["torch_rng"])
+        np.random.set_state(rck["np_rng"])
+        start_step = int(rck["global_step"])
+        print(f"[parity] resumed torch run at step {start_step}")
 
     imgs_np = images.astype(np.float32)
     _, poses_t, rays_rgb, use_batching, N_rand, i_batch = (
@@ -184,8 +202,9 @@ def train_torch(scene, args, init_tar, steps, eval_every, log):
         return -10.0 * np.log10(np.mean(mses))
 
     t0 = time.perf_counter()
-    global_step = 0
-    for i in range(1, steps + 1):
+    global_step = start_step
+    p = float("nan")
+    for i in range(start_step + 1, steps + 1):
         renderer.train()
         batch_rays, target_s, rays_rgb, i_batch = (
             rutils.sample_random_ray_batch(
@@ -216,7 +235,19 @@ def train_torch(scene, args, init_tar, steps, eval_every, log):
                    "eval_psnr": round(p, 4)}
             log.write(json.dumps(rec) + "\n")
             log.flush()
-            print(rec)
+            print(rec, flush=True)
+        if resume_path and resume_every and (i % resume_every == 0
+                                             or i == steps):
+            tmp = resume_path + ".tmp"
+            torch.save({
+                "global_step": global_step,
+                "coarse_model_state_dict": coarse.state_dict(),
+                "fine_model_state_dict": fine.state_dict(),
+                "optimizer_state_dict": optimizer.state_dict(),
+                "torch_rng": torch.get_rng_state(),
+                "np_rng": np.random.get_state(),
+            }, tmp)
+            os.replace(tmp, resume_path)
     return p
 
 
@@ -318,6 +349,13 @@ def main():
     ap.add_argument("--lrate_decay", type=int, default=250)
     ap.add_argument("--precrop_iters", type=int, default=0)
     ap.add_argument("--skip_torch", action="store_true")
+    ap.add_argument("--only_torch", action="store_true",
+                    help="run only the torch-reference side (for launching "
+                         "the multi-hour CPU run as a background job)")
+    ap.add_argument("--torch_resume", type=str, default="",
+                    help="path for torch crash-safe resume checkpoint")
+    ap.add_argument("--torch_resume_every", type=int, default=10000)
+    ap.add_argument("--log_append", action="store_true")
     ap.add_argument("--matmul_precision", type=str, default="float32")
     ap.add_argument("--jax_train_seed", type=int, default=1)
     ap.add_argument("--fused_backward", action="store_true",
@@ -338,25 +376,30 @@ def main():
     init_tar = ".scratch_parity/init.tar"
     state, ccfg, fcfg = export_init_tar(init_tar, 0, args)
 
-    log = open(a.log, "w")
-    jax_psnr = train_jax(scene, args, state, ccfg, fcfg, a.steps,
-                         a.eval_every, log,
-                         matmul_precision=a.matmul_precision,
-                         train_seed=a.jax_train_seed)
+    log = open(a.log, "a" if a.log_append else "w")
+    jax_psnr = None
+    if not a.only_torch:
+        jax_psnr = train_jax(scene, args, state, ccfg, fcfg, a.steps,
+                             a.eval_every, log,
+                             matmul_precision=a.matmul_precision,
+                             train_seed=a.jax_train_seed)
     torch_psnr = None
     if not a.skip_torch and os.path.isdir(REFERENCE):
         torch_psnr = train_torch(scene, args, init_tar, a.steps,
-                                 a.eval_every, log)
+                                 a.eval_every, log,
+                                 resume_path=a.torch_resume or None,
+                                 resume_every=a.torch_resume_every)
     log.close()
 
     summary = {
         "metric": "parity_eval_psnr",
         "steps": a.steps,
-        "jax_psnr_db": round(jax_psnr, 3),
+        "jax_psnr_db": round(jax_psnr, 3) if jax_psnr is not None else None,
         "torch_reference_psnr_db": (
             round(torch_psnr, 3) if torch_psnr is not None else None),
         "gap_db": (round(jax_psnr - torch_psnr, 3)
-                   if torch_psnr is not None else None),
+                   if torch_psnr is not None and jax_psnr is not None
+                   else None),
         "unit": "dB",
     }
     print(json.dumps(summary))

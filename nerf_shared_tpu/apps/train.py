@@ -297,6 +297,7 @@ def train(args):
                     occ_g, H, W, ds.K, c2w, float(eval_rcfg.near),
                     float(eval_rcfg.far), n_depth=args.occ_candidates,
                     tile=args.occ_tile, ndc=eval_rcfg.ndc,
+                    lindisp=eval_rcfg.lindisp,
                 )
                 if k is None:
                     k = jax.random.PRNGKey(0)

@@ -205,10 +205,15 @@ def _broadcast_tiles(x: jnp.ndarray, H: int, W: int, tile: int):
     return x[:H, :W]
 
 
-def _ray_inputs(rcfg: RenderConfig, H: int, W: int, K, c2w):
+def _ray_inputs(rcfg: RenderConfig, H: int, W: int, K, c2w, ndc_hw=None):
     """Flat per-ray tensors for one pose: origins, dirs, (viewdirs).
     Matches Renderer._pack_rays semantics: viewdirs normalize the PRE-warp
-    directions, then the NDC warp (if any) remaps origins/dirs."""
+    directions, then the NDC warp (if any) remaps origins/dirs.
+
+    ``ndc_hw``: the TRUE image (H, W) for the NDC warp when the pixel grid
+    is computed on a tile-padded (H, W) — ndc_rays scales by 1/H and 1/W
+    (ops/rays.py, reference utils.py:54-71), so warping with padded dims
+    would distort every ray whenever H or W isn't a tile multiple."""
     from nerf_shared_tpu.ops.rays import get_rays, ndc_rays
 
     rays_o, rays_d = get_rays(H, W, K, jnp.asarray(c2w))
@@ -217,8 +222,9 @@ def _ray_inputs(rcfg: RenderConfig, H: int, W: int, K, c2w):
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         viewdirs = viewdirs.reshape(-1, 3)
     if rcfg.ndc:
+        nh, nw = ndc_hw if ndc_hw is not None else (H, W)
         rays_o, rays_d = ndc_rays(
-            H, W, jnp.asarray(K)[0, 0], 1.0, rays_o, rays_d
+            nh, nw, jnp.asarray(K)[0, 0], 1.0, rays_o, rays_d
         )
     return rays_o.reshape(-1, 3), rays_d.reshape(-1, 3), viewdirs
 
@@ -336,7 +342,10 @@ def _tile_major_prelude(fro: FroxelGrid, rcfg: RenderConfig, H: int, W: int,
     the prelude of the empty-tile-skipping path."""
     Ht, Wt, C = fro.bits.shape
     Hp, Wp = Ht * tile, Wt * tile
-    rays_o, rays_d, viewdirs = _ray_inputs(rcfg, Hp, Wp, K, c2w)
+    # pixel grid over the padded (Hp, Wp) extent, but the NDC warp must use
+    # the true (H, W) — it's what build_froxels probed the bins with
+    rays_o, rays_d, viewdirs = _ray_inputs(rcfg, Hp, Wp, K, c2w,
+                                           ndc_hw=(H, W))
     z_lo, z_hi, valid = _selection_maps(fro, rcfg, Hp, Wp, tile, n_keep)
 
     def tm(a):

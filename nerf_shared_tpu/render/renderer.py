@@ -479,6 +479,14 @@ class Renderer:
         Returns (rgb [H,W,3], extras dict)."""
         pf, fcfg = _model_parts(fine_model)
         if mode == "froxel":
+            # froxel triage has no per-ray selection/compaction knobs —
+            # don't let grid-mode arguments silently change meaning
+            if select != "sort" or gate_rays:
+                raise ValueError(
+                    "select/gate_rays only apply to mode='grid'; "
+                    "mode='froxel' (the default) ignores them — pass "
+                    "mode='grid' to keep the gated world-grid semantics"
+                )
             from nerf_shared_tpu.render.froxels import render_image_froxels
 
             out = render_image_froxels(

@@ -259,6 +259,14 @@ def make_occ_train_step(
 
     from nerf_shared_tpu.train.pipeline import sample_ray_batch
 
+    if n_keep > n_candidates:
+        # _random_k_of_occupied's kth-key slice would be empty otherwise,
+        # failing later with an opaque broadcast shape error
+        raise ValueError(
+            f"n_keep ({n_keep}) must be <= n_candidates ({n_candidates}) "
+            "— check --train_occ_keep vs --train_occ_candidates"
+        )
+
     # NDC scenes work too: pack_ray_batch applies the warp, so candidates,
     # lookups, and the density grid all live in NDC space (the grid's AABB
     # must be the NDC cube — apps/train._occ_aabb handles that)

@@ -254,6 +254,47 @@ def test_ndc_all_occupied_equals_dense_coarse():
         )
 
 
+def test_ndc_skip_exact_non_tile_divisible():
+    """Regression (round-2 advisor, froxels.py:_tile_major_prelude): under
+    NDC with H or W not a tile multiple, the skip path's rays are built on
+    the tile-padded (Hp, Wp) grid but the ndc_rays warp must use the TRUE
+    (H, W) — canonical LLFF images (378x504, tile=8) are never
+    tile-divisible. Oracle 1: skip_empty=True == skip_empty=False at
+    perturb=0 (the unskipped path warps with true dims). Oracle 2: with a
+    full grid and K == C the skip path equals the dense coarse render."""
+    model, cfg = _model()
+    H, W = 18, 22                       # H % 4 = 2, W % 4 = 2
+    K, _ = _cam(H, W)
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32)[:3])
+    rcfg = _rcfg(ndc=True, near=0.0, far=1.0)
+
+    a = F.render_image_froxels(model, _full_grid(), rcfg, H, W, K, c2w,
+                               n_depth=12, n_keep=12, tile=4, dilate=0,
+                               skip_empty=False)
+    b = F.render_image_froxels(model, _full_grid(), rcfg, H, W, K, c2w,
+                               n_depth=12, n_keep=12, tile=4, dilate=0,
+                               skip_empty=True)
+    for k in ("rgb_map", "disp_map", "acc_map", "n_active"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
+
+    renderer = Renderer(**{
+        "N_samples": 12, "N_importance": 0, "near": 0.0, "far": 1.0,
+        "perturb": 0.0, "white_bkgd": True, "ndc": True,
+    })
+    rays_flat, _ = renderer._pack_rays(H, W, K, None, c2w, None)
+    dense = render_rays(
+        model.params, None, rays_flat, jax.random.PRNGKey(0),
+        _rcfg(N_samples=12, N_importance=0, ndc=True, near=0.0, far=1.0),
+        cfg, None,
+    )
+    for k in ("rgb_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(b[k]).reshape(np.asarray(dense[k]).shape),
+            np.asarray(dense[k]), rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
 def test_skip_empty_is_exact():
     """Empty-tile skipping must be bit-identical to the unskipped path at
     perturb=0 (skipped tiles are all-padding and composite to the exact

@@ -131,6 +131,19 @@ def test_occ_step_trains():
         np.testing.assert_array_equal(a, b)
 
 
+def test_occ_step_rejects_keep_above_candidates():
+    """--train_occ_keep > --train_occ_candidates must fail loudly at build
+    time, not with a broadcast shape error mid-step (round-2 advisor)."""
+    import pytest
+
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    K = np.array([[20.0, 0, 8.0], [0, 20.0, 8.0], [0, 0, 1]])
+    spec = PixelSamplerSpec.from_K(16, 16, K, N_rand=16, single_image=True,
+                                   precrop_iters=0)
+    with pytest.raises(ValueError, match="train_occ_keep"):
+        OT.make_occ_train_step(_rcfg(), cfg, spec, n_candidates=8, n_keep=16)
+
+
 def test_occ_step_sharded():
     """The occ step under shard_map on the 8-device mesh: finite loss,
     advancing step counter."""

@@ -213,6 +213,30 @@ def test_renderer_image_and_batch_pose_api(tmp_path):
     assert (tmp_path / "000.png").exists()
 
 
+def test_render_image_occ_rejects_grid_args_in_froxel_mode():
+    """select/gate_rays are grid-mode knobs; the froxel default must not
+    silently ignore them (round-2 advisor)."""
+    import pytest
+
+    model, _ = _model()
+    renderer = Renderer(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=0.0, white_bkgd=True)
+    K = np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]])
+    full = O.OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                           jnp.array([-99.0, -99, -99]),
+                           jnp.array([99.0, 99, 99]))
+    for kw in ({"gate_rays": True}, {"select": "topk"}):
+        with pytest.raises(ValueError, match="froxel"):
+            renderer.render_image_occ(8, 8, K, jnp.eye(4)[:3], model, full,
+                                      chunk=32, n_candidates=12, n_keep=8,
+                                      **kw)
+    # explicit grid mode still honors them
+    rgb, _ = renderer.render_image_occ(8, 8, K, jnp.eye(4)[:3], model, full,
+                                       chunk=32, n_candidates=12, n_keep=8,
+                                       mode="grid", gate_rays=True)
+    assert np.isfinite(np.asarray(rgb)).all()
+
+
 def test_maintainer_rebuilds_when_stale():
     """OccupancyMaintainer: same-step calls share one build; a later step
     with changed params produces a grid reflecting the NEW density."""
