@@ -77,7 +77,10 @@ def main():
 
     # secondary: the occupancy-gated trainer (--train_occ, a different
     # estimator — see benchmarks/ttq_occ.py for the time-to-quality
-    # comparison). Measured at a realistic post-warmup sparsity.
+    # comparison). The grid is force_occupied (all cells on): K is static,
+    # so per-step FLOPs and rays/s are sparsity-independent — only the
+    # *selection distribution* changes with a real grid (work-equivalent
+    # measurement; verified in round 2).
     from nerf_shared_tpu.train.occ_train import (
         binarize_density_grid,
         init_density_grid,

@@ -306,6 +306,23 @@ def train(args):
                 )["rgb_map"]
 
             return render_one
+    elif mesh is not None:
+        # no occupancy source: hooks render DENSE but still sharded — the
+        # rays split over 'data' and the pixels all-gather
+        from nerf_shared_tpu.parallel.render import make_sharded_pose_render
+
+        _dense_sh = make_sharded_pose_render(
+            mesh, renderer.cfg, ccfg, fcfg, H, W,
+        )
+
+        def sharded_hook(state, step):
+            def render_one(c2w, k):
+                return _dense_sh(
+                    state.params["coarse"], state.params.get("fine"),
+                    ds.K, c2w, k,
+                )["rgb_map"]
+
+            return render_one
 
     key = jax.random.PRNGKey(args.jax_seed)
     N_iters = args.N_iters + 1
@@ -451,6 +468,64 @@ def render_only(args):
     )
     poses = ds.render_poses[:, :3, :4] if ds.render_poses.ndim == 3 else ds.render_poses
     occ_grid = _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine)
+
+    # multi-chip: render each pose through the mesh (rays split over 'data',
+    # pixels all-gathered) instead of leaving n-1 chips idle — the export
+    # render is the reference's primary eval product (render_utils.py:293-319)
+    render_fn = None
+    n_dev = len(jax.devices())
+    if (args.mesh_shape and int(np.prod(args.mesh_shape)) > 1) or n_dev > 1:
+        import dataclasses as _dc
+
+        mesh = make_mesh(args.mesh_shape)
+        print(f"render_only mesh: {mesh}")
+        eval_rcfg = _dc.replace(
+            renderer.cfg, perturb=0.0, raw_noise_std=0.0,
+            use_pallas=False, fused_backward=False,
+        )
+        if occ_grid is not None and fine is not None and (
+            getattr(args, "occ_mode", "froxel") == "froxel"
+        ):
+            from nerf_shared_tpu.render.froxels import (
+                build_froxels,
+                make_sharded_render_froxel,
+            )
+
+            _sh_fro = make_sharded_render_froxel(
+                mesh, eval_rcfg, fcfg, H, W,
+                tile=getattr(args, "occ_tile", 8),
+                n_keep=getattr(args, "occ_keep", 64),
+            )
+
+            def render_fn(c2w, k):
+                fro = build_froxels(
+                    occ_grid, H, W, K, c2w, float(eval_rcfg.near),
+                    float(eval_rcfg.far),
+                    n_depth=getattr(args, "occ_candidates", 128),
+                    tile=getattr(args, "occ_tile", 8), ndc=eval_rcfg.ndc,
+                    lindisp=eval_rcfg.lindisp,
+                )
+                return _sh_fro(
+                    state.params["fine"], fro, K, c2w,
+                    k if k is not None else jax.random.PRNGKey(0),
+                )["rgb_map"]
+        elif occ_grid is None and getattr(args, "render_gate", 0.0) <= 0.0:
+            from nerf_shared_tpu.parallel.render import (
+                make_sharded_pose_render,
+            )
+
+            _sh_dense = make_sharded_pose_render(
+                mesh, renderer.cfg, ccfg, fcfg, H, W,
+            )
+
+            def render_fn(c2w, k):
+                return _sh_dense(
+                    state.params["coarse"], state.params.get("fine"),
+                    K, c2w, k,
+                )["rgb_map"]
+        # (grid-mode occupancy and ray-gated renders stay single-chip: their
+        # host-sync compaction doesn't shard — froxel mode is the fast path)
+
     rgbs = renderer.render_from_batch_poses(
         H, W, K, args.chunk, poses, coarse, fine,
         retraw=False, save_directory=outdir, b_combine_as_video=True,
@@ -460,6 +535,7 @@ def render_only(args):
         occ_keep=getattr(args, "occ_keep", 64),
         occ_mode=getattr(args, "occ_mode", "froxel"),
         occ_tile=getattr(args, "occ_tile", 8),
+        render_fn=render_fn,
     )
     print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
     return outdir

@@ -85,6 +85,50 @@ def make_sharded_render(
     return render_fn
 
 
+def make_sharded_pose_render(
+    mesh,
+    rcfg: RenderConfig,
+    ccfg: NeRFConfig,
+    fcfg: Optional[NeRFConfig],
+    H: int,
+    W: int,
+    block: int = 16384,
+):
+    """Full-image DENSE render of one pose over the mesh: pack the H·W rays
+    with the exact Renderer._pack_rays semantics (viewdirs before the NDC
+    warp, reference render_utils.py:198-226), split them over 'data', and
+    all-gather the pixel maps. This is the multi-chip path for
+    ``--render_only`` and the non-occupancy i_testset/i_video hooks
+    (reference render_utils.py:293-319 renders these on its one device;
+    here n-1 chips must not sit idle).
+
+    Returns render_pose(params_coarse, params_fine, K, c2w, key)
+      -> dict of [H, W, ...] maps (rgb_map/disp_map/acc_map/...).
+    Deterministic eval semantics (perturb=0, no sigma noise) are forced, so
+    output pixels are identical to the single-chip eval render.
+    """
+    import dataclasses
+
+    from nerf_shared_tpu.render.renderer import Renderer
+
+    eval_cfg = dataclasses.replace(
+        rcfg, perturb=0.0, raw_noise_std=0.0,
+        use_pallas=False, fused_backward=False,
+    )
+    packer = Renderer(**dataclasses.asdict(eval_cfg))
+    render_fn = make_sharded_render(mesh, eval_cfg, ccfg, fcfg, block=block)
+
+    def render_pose(params_coarse, params_fine, K, c2w, key=None):
+        rays_flat, _ = packer._pack_rays(H, W, K, None, jnp.asarray(c2w),
+                                         None)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        out = render_fn(params_coarse, params_fine, rays_flat, key)
+        return {k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()}
+
+    return render_pose
+
+
 def make_sharded_render_occ(
     mesh,
     rcfg: RenderConfig,

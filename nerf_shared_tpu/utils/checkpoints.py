@@ -363,10 +363,18 @@ def load_checkpoint(
     state,
     args,
     checkpoint_index: Optional[int] = None,
+    trainable: bool = True,
 ):
     """Restore the newest checkpoint into ``state``; returns (state, start).
     Mirrors reference utils.py:174-214 (newest-wins, ft_path override,
-    no_reload kill-switch)."""
+    no_reload kill-switch).
+
+    ``trainable=False`` is the reference's ``b_load_ckpnt_as_trainable``
+    (utils.py:206-212, requires_grad=False): the returned state's optimizer
+    is replaced by a zero-update transform, so any train step leaves the
+    loaded params bit-identical. In JAX this knob is rarely needed — the
+    pose app freezes by construction (params never enter the optimizer) —
+    but it closes the one reference API surface without a counterpart."""
     ckpts = find_checkpoints(args.basedir, args.expname, args.ft_path)
     if not ckpts or args.no_reload:
         return state, 0
@@ -388,5 +396,12 @@ def load_checkpoint(
     if opt_flat is not None:
         new_state = new_state.replace(
             opt_state=flat_to_adam_state(state.tx, new_state.params, opt_flat)
+        )
+    if not trainable:
+        import optax
+
+        frozen_tx = optax.set_to_zero()
+        new_state = new_state.replace(
+            tx=frozen_tx, opt_state=frozen_tx.init(new_state.params)
         )
     return new_state, step

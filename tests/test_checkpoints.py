@@ -76,6 +76,28 @@ def test_tar_roundtrip(tmp_path):
     trees_equal(restored.opt_state, state.opt_state, rtol=1e-6)
 
 
+def test_load_frozen_has_zero_param_drift(tmp_path):
+    """trainable=False (reference b_load_ckpnt_as_trainable,
+    utils.py:206-212): gradient steps after a frozen load must leave the
+    loaded params bit-identical."""
+    state, _ = small_state()
+    state = _advance(state)
+    ckpt.save_checkpoints(str(tmp_path), "exp", state, 3, fmt="native")
+
+    fresh, _ = small_state()
+    frozen, start = ckpt.load_checkpoint(
+        fresh, Args(str(tmp_path), "exp"), trainable=False
+    )
+    assert start == 3
+    before = jax.device_get(frozen.params)
+    stepped = _advance(frozen, n=2)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(stepped.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # step counter still advances (only the params are frozen)
+    assert int(stepped.step) == int(frozen.step) + 2
+
+
 def test_tar_schema_matches_reference_contract(tmp_path):
     """The .tar must contain the reference's dict keys with torch state_dict
     naming ('pts_linears.0.weight', [out,in] layout) so the PyTorch reference

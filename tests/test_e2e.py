@@ -393,3 +393,177 @@ def test_e2e_train_occ(tmp_path):
 
     img = np.asarray(imageio.imread(pngs[0]), np.float32)
     assert np.isfinite(img).all()
+
+
+def test_e2e_render_only_sharded_matches_single_chip(tmp_path, capsys):
+    """--render_only on a multi-device environment (the 8-device virtual
+    mesh here) must render through the sharded path — and produce the same
+    pixels as the direct single-device eval render of the same checkpoint
+    (round-2 verdict item 3). Covers both the dense path and the froxel
+    occupancy path."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf_shared_tpu.data.datasets import load_datasets
+    from nerf_shared_tpu.factory import get_renderer, get_train_state, nerf_configs
+    from nerf_shared_tpu.utils import checkpoints as ckpt_utils
+
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(root, datadir, logdir, N_iters=16, i_weights=16)
+
+    run(config_parser().parse_args(["--config", cfg_path]))
+
+    # ---- dense sharded render_only
+    args = config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256"]
+    )
+    outdir = render_only(args)
+    assert "render_only mesh" in capsys.readouterr().out
+    pngs = sorted(glob.glob(os.path.join(outdir, "*.png")))
+    assert len(pngs) == 2
+
+    # single-chip oracle: same checkpoint, plain (unsharded) eval render
+    ds = load_datasets(args)
+    H, W, _ = ds.hwf
+    ccfg, fcfg = nerf_configs(args)
+    state = get_train_state(args)
+    state, _ = ckpt_utils.load_checkpoint(state, args)
+    renderer = get_renderer(args, ds.bds_dict)
+    from nerf_shared_tpu.models.nerf import NeRF
+
+    coarse = NeRF(ccfg, state.params["coarse"])
+    fine = NeRF(fcfg, state.params["fine"])
+    import dataclasses
+
+    from nerf_shared_tpu.render.renderer import Renderer
+
+    eval_renderer = Renderer(**dataclasses.asdict(dataclasses.replace(
+        renderer.cfg, perturb=0.0, raw_noise_std=0.0)))
+    import imageio.v2 as imageio
+
+    for i, ti in enumerate(ds.i_test):
+        rgb, _, _, _ = eval_renderer.render_from_pose(
+            H, W, ds.K, chunk=256, c2w=jnp.asarray(ds.poses[ti][:3, :4]),
+            coarse_model=coarse, fine_model=fine, retraw=False,
+        )
+        png = np.asarray(imageio.imread(pngs[i]), np.float32) / 255.0
+        np.testing.assert_allclose(png, np.asarray(rgb), atol=2.5 / 255,
+                                   err_msg=f"dense view {i}")
+
+    # ---- froxel sharded render_only (--occ_grid)
+    args_f = config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256", "--occ_grid", "8", "--occ_candidates", "16",
+         "--occ_keep", "8"]
+    )
+    outdir_f = render_only(args_f)
+    assert "render_only mesh" in capsys.readouterr().out
+    pngs_f = sorted(glob.glob(os.path.join(outdir_f, "*.png")))
+    assert len(pngs_f) == 2
+    for p, q in zip(pngs, pngs_f):
+        a = np.asarray(imageio.imread(p), np.float32) / 255.0
+        b = np.asarray(imageio.imread(q), np.float32) / 255.0
+        # froxel approximation vs dense: same scene, loose tolerance
+        assert np.mean(np.abs(a - b)) < 0.1
+
+
+def test_e2e_train_occ_ndc_llff(tmp_path, capsys):
+    """--train_occ on an NDC/LLFF scene (round-2 verdict item 5): the
+    density grid lives in the NDC cube (_occ_aabb), candidates/lookups are
+    NDC-space, loss stays finite, train PSNR rises, and the render hook
+    works. Previously implemented (occ_train.py NDC packing) but untested."""
+    from nerf_shared_tpu.data.poses import view_matrix
+
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    imgdir = os.path.join(datadir, "images")
+    os.makedirs(imgdir)
+    n, size = 5, 16
+    yy, xx = np.mgrid[:size, :size]
+    blob = ((yy - size / 2) ** 2 + (xx - size / 2) ** 2) < (size / 3) ** 2
+    poses = []
+    for i in range(n):
+        img = np.zeros((size, size, 3), np.uint8)
+        img[..., 0] = blob * 210
+        img[..., 2] = (~blob) * 40
+        imwrite_u8(os.path.join(imgdir, f"img_{i:02d}.png"), img)
+        pos = np.array([0.02 * i, 0.01 * i, 0.0])
+        m = view_matrix(np.array([0.0, 0.0, 1.0]),
+                        np.array([0.0, 1.0, 0.0]), pos)
+        hwf = np.array([[size], [size], [size * 1.2]])
+        poses.append(np.concatenate([m, hwf], 1))
+    poses = np.stack(poses)
+    bds = np.stack([np.full(n, 1.5), np.full(n, 7.0)], -1)
+    np.save(os.path.join(datadir, "poses_bounds.npy"),
+            np.concatenate([poses.reshape(n, -1), bds], axis=1))
+
+    cfg = os.path.join(root, "llff_occ.txt")
+    with open(cfg, "w") as f:
+        f.write("\n".join([
+            "expname = llff_occ_e2e",
+            f"basedir = {os.path.join(root, 'logs')}",
+            f"datadir = {datadir}",
+            "dataset_type = llff",
+            "training = True",
+            "factor = 1",
+            "llffhold = 4",
+            "no_batching = True",
+            "use_viewdirs = True",
+            "N_samples = 8",
+            "N_importance = 8",
+            "N_rand = 128",
+            "netdepth = 2",
+            "netwidth = 32",
+            "netdepth_fine = 2",
+            "netwidth_fine = 32",
+            "multires = 4",
+            "multires_views = 2",
+            "lrate = 5e-3",
+            "precrop_iters = 0",
+            "N_iters = 48",
+            "i_print = 8",
+            "i_weights = 48",
+            "i_testset = 48",
+            "i_img = 0",
+            "i_video = 0",
+            "chunk = 256",
+            "train_occ = True",
+            "train_occ_res = 8",
+            "train_occ_candidates = 12",
+            "train_occ_keep = 6",
+            "train_occ_warmup = 24",
+        ]) + "\n")
+    args = config_parser().parse_args(["--config", cfg])
+    assert not args.no_ndc   # llff without no_ndc -> renderer gets ndc=True
+    run(args)
+    out = capsys.readouterr().out
+
+    import re
+
+    psnrs = [float(m) for m in re.findall(r"PSNR: ([0-9.]+)", out)]
+    assert psnrs and all(np.isfinite(psnrs)), out
+    assert psnrs[-1] > psnrs[0] + 1.0, psnrs   # trains, not just survives
+    losses = [float(m) for m in re.findall(r"Loss: ([0-9.]+)", out)]
+    assert all(np.isfinite(losses))
+
+    expdir = os.path.join(root, "logs", "llff_occ_e2e")
+    # the i_testset hook rendered through the NDC training grid
+    assert glob.glob(os.path.join(expdir, "testset_000048", "*.png"))
+
+    # froxel render of the checkpoint through an NDC occupancy grid
+    args2 = config_parser().parse_args(
+        ["--config", cfg, "--render_only", "--render_test", "--chunk", "256",
+         "--occ_grid", "8", "--occ_candidates", "12", "--occ_keep", "6"]
+    )
+    outdir = render_only(args2)
+    import imageio.v2 as imageio
+
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert pngs
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()

@@ -93,3 +93,47 @@ def test_sharded_occ_render_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(sharded[k]), np.asarray(single[k]),
             rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_sharded_pose_render_matches_single_chip():
+    """make_sharded_pose_render (the --render_only / dense-hook multi-chip
+    path) must produce the same pixels as the single-device eval render —
+    including for non-8-divisible ray counts and NDC packing."""
+    from nerf_shared_tpu.parallel.render import make_sharded_pose_render
+    from nerf_shared_tpu.render.renderer import Renderer
+
+    mesh = make_mesh()
+    ccfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    coarse = NeRF.create(jax.random.PRNGKey(0), ccfg)
+    fine = NeRF.create(jax.random.PRNGKey(1), ccfg)
+
+    for ndc in (False, True):
+        near, far = (0.0, 1.0) if ndc else (2.0, 6.0)
+        rcfg = RenderConfig(N_samples=8, N_importance=8, near=near, far=far,
+                            perturb=1.0,   # must be forced to 0 internally
+                            raw_noise_std=1.0, white_bkgd=True, ndc=ndc,
+                            use_viewdirs=True)
+        H, W = 9, 13                       # 117 rays: not divisible by 8
+        K = np.array([[12.0, 0, W / 2], [0, 12.0, H / 2], [0, 0, 1]])
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        if not ndc:
+            c2w[2, 3] = 4.0
+
+        render_pose = make_sharded_pose_render(mesh, rcfg, ccfg, ccfg, H, W,
+                                               block=32)
+        sharded = render_pose(coarse.params, fine.params, K, c2w)
+
+        import dataclasses
+        eval_renderer = Renderer(**dataclasses.asdict(
+            dataclasses.replace(rcfg, perturb=0.0, raw_noise_std=0.0)))
+        rgb, disp, acc, _ = eval_renderer.render_from_pose(
+            H, W, K, chunk=64, c2w=jnp.asarray(c2w),
+            coarse_model=coarse, fine_model=fine, retraw=False,
+        )
+        assert sharded["rgb_map"].shape == (H, W, 3)
+        np.testing.assert_allclose(np.asarray(sharded["rgb_map"]),
+                                   np.asarray(rgb), rtol=1e-4, atol=1e-5,
+                                   err_msg=f"ndc={ndc}")
+        np.testing.assert_allclose(np.asarray(sharded["acc_map"]),
+                                   np.asarray(acc), rtol=1e-4, atol=1e-5,
+                                   err_msg=f"ndc={ndc}")
