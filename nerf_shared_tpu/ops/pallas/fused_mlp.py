@@ -176,14 +176,79 @@ def pack_params(params, cfg: NeRFConfig, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
+def _split_mlp_refs(cfg: NeRFConfig, rest):
+    """Parse the post-encoder weight refs shared by both kernel variants.
+    Zero-size operands are illegal for Mosaic: mid/skip stacks are passed
+    only when the architecture has them."""
+    n_mid = cfg.D - 1
+    skip_positions = [i - 1 for i in range(1, cfg.D) if (i - 1) in cfg.skips]
+    rest = list(rest)
+    refs = {
+        "Wmid": rest.pop(0) if n_mid > 0 else None,       # [n_mid, Wp, Wp]
+        "bmid": rest.pop(0) if n_mid > 0 else None,       # [n_mid, 1, Wp]
+        "Wskip": rest.pop(0) if skip_positions else None,  # [n_skips, EMB, Wp]
+        "skip_positions": skip_positions,
+        "n_mid": n_mid,
+    }
+    if cfg.use_viewdirs:
+        (refs["Wf"], refs["bf"], refs["Wv_f"], refs["Wv_d"], refs["bv"],
+         refs["Wout_h"], refs["Wout_v"], refs["bout"], out_ref) = rest
+    else:
+        (refs["Wout_h"], refs["bout"], out_ref) = rest
+    return refs, out_ref
+
+
+def _mlp_from_emb(cfg, compute_dtype, emb, W0_ref, b0_ref, refs, out_ref):
+    """The shared MLP trunk + head, from the encoded features to the raw
+    output store."""
+    acc_dtype = jnp.float32
+    h = jnp.maximum(
+        jnp.dot(emb, W0_ref[:], preferred_element_type=acc_dtype)
+        + b0_ref[:],
+        0.0,
+    ).astype(compute_dtype)
+    skip_j = 0
+    for j in range(refs["n_mid"]):
+        z = jnp.dot(
+            h, refs["Wmid"][j], preferred_element_type=acc_dtype
+        ) + refs["bmid"][j]
+        if j in refs["skip_positions"]:
+            z = z + jnp.dot(
+                emb, refs["Wskip"][skip_j], preferred_element_type=acc_dtype
+            )
+            skip_j += 1
+        h = jnp.maximum(z, 0.0).astype(compute_dtype)
+
+    if cfg.use_viewdirs:
+        feature = (
+            jnp.dot(h, refs["Wf"][:], preferred_element_type=acc_dtype)
+            + refs["bf"][:]
+        ).astype(compute_dtype)
+        hv = jnp.maximum(
+            jnp.dot(feature, refs["Wv_f"][:], preferred_element_type=acc_dtype)
+            + jnp.dot(emb, refs["Wv_d"][:], preferred_element_type=acc_dtype)
+            + refs["bv"][:],
+            0.0,
+        ).astype(compute_dtype)
+        out = (
+            jnp.dot(h, refs["Wout_h"][:], preferred_element_type=acc_dtype)
+            + jnp.dot(hv, refs["Wout_v"][:], preferred_element_type=acc_dtype)
+            + refs["bout"][:]
+        )
+    else:
+        out = (
+            jnp.dot(h, refs["Wout_h"][:], preferred_element_type=acc_dtype)
+            + refs["bout"][:]
+        )
+    # store only the used channels: the full 128-lane tile to HBM would
+    # be a 32x write amplification (6+ GB per 800p render block)
+    out_ref[:] = out[:, : out_ref.shape[-1]].astype(out_ref.dtype)
+
+
 def _make_kernel(cfg: NeRFConfig, compute_dtype):
     """``compute_dtype`` is the matmul-operand dtype for the trunk/head
     matmuls; accumulation is always fp32 (preferred_element_type) and the
     encoder runs fully in fp32 (see pack_params)."""
-    n_mid = cfg.D - 1
-    skip_positions = [i - 1 for i in range(1, cfg.D) if (i - 1) in cfg.skips]
-    has_mid = n_mid > 0
-    has_skip = len(skip_positions) > 0
     acc_dtype = jnp.float32
 
     def kernel(
@@ -194,18 +259,7 @@ def _make_kernel(cfg: NeRFConfig, compute_dtype):
         W0_ref, b0_ref,
         *rest,
     ):
-        # zero-size operands are illegal for Mosaic: mid/skip stacks are
-        # passed only when the architecture has them
-        rest = list(rest)
-        Wmid_ref = rest.pop(0) if has_mid else None   # [n_mid, Wp, Wp]
-        bmid_ref = rest.pop(0) if has_mid else None   # [n_mid, 1, Wp]
-        Wskip_ref = rest.pop(0) if has_skip else None  # [n_skips, EMB, Wp]
-        if cfg.use_viewdirs:
-            (Wf_ref, bf_ref, Wv_f_ref, Wv_d_ref, bv_ref,
-             Wout_h_ref, Wout_v_ref, bout_ref, out_ref) = rest
-        else:
-            (Wout_h_ref, bout_ref, out_ref) = rest
-
+        refs, out_ref = _split_mlp_refs(cfg, rest)
         x = x_ref[:]  # fp32: the encoder needs full-precision sinusoid args
         # --- positional encoding: one matmul + masked sin ---
         z = (
@@ -213,49 +267,39 @@ def _make_kernel(cfg: NeRFConfig, compute_dtype):
             + phase_ref[:]
         )
         emb = jnp.where(idmask_ref[:], z, jnp.sin(z)).astype(compute_dtype)
+        _mlp_from_emb(cfg, compute_dtype, emb, W0_ref, b0_ref, refs, out_ref)
 
-        # --- MLP trunk ---
-        h = jnp.maximum(
-            jnp.dot(emb, W0_ref[:], preferred_element_type=acc_dtype)
-            + b0_ref[:],
-            0.0,
-        ).astype(compute_dtype)
-        skip_j = 0
-        for j in range(n_mid):
-            z = jnp.dot(
-                h, Wmid_ref[j], preferred_element_type=acc_dtype
-            ) + bmid_ref[j]
-            if j in skip_positions:
-                z = z + jnp.dot(
-                    emb, Wskip_ref[skip_j], preferred_element_type=acc_dtype
-                )
-                skip_j += 1
-            h = jnp.maximum(z, 0.0).astype(compute_dtype)
+    return kernel
 
-        if cfg.use_viewdirs:
-            feature = (
-                jnp.dot(h, Wf_ref[:], preferred_element_type=acc_dtype)
-                + bf_ref[:]
-            ).astype(compute_dtype)
-            hv = jnp.maximum(
-                jnp.dot(feature, Wv_f_ref[:], preferred_element_type=acc_dtype)
-                + jnp.dot(emb, Wv_d_ref[:], preferred_element_type=acc_dtype)
-                + bv_ref[:],
-                0.0,
-            ).astype(compute_dtype)
-            out = (
-                jnp.dot(h, Wout_h_ref[:], preferred_element_type=acc_dtype)
-                + jnp.dot(hv, Wout_v_ref[:], preferred_element_type=acc_dtype)
-                + bout_ref[:]
-            )
-        else:
-            out = (
-                jnp.dot(h, Wout_h_ref[:], preferred_element_type=acc_dtype)
-                + bout_ref[:]
-            )
-        # store only the used channels: the full 128-lane tile to HBM would
-        # be a 32x write amplification (6+ GB per 800p render block)
-        out_ref[:] = out[:, : out_ref.shape[-1]].astype(out_ref.dtype)
+
+def _make_ray_kernel(cfg: NeRFConfig, compute_dtype, R: int, S: int):
+    """Ray-major variant: the caller passes per-RAY encoder arguments
+    A = [ro, d, 0, 0] @ F + phase and B = [rd, 0, 0, 0, 0] @ F plus the
+    per-ray sample depths z [R, S], and the kernel reconstructs the
+    pre-sine argument as A + z·B (pts = ro + rd·z is linear in z, and the
+    encoder's matmul distributes over it). This removes the [N·S, 8]
+    per-point input materialization — the 403 MB layout copy that
+    dominated the dense-frame tail (benchmarks/traces/summary.json) — and
+    shrinks per-point input traffic from 32 B to ~4 B."""
+
+    def kernel(
+        A_ref,          # [R, EMB] fp32
+        B_ref,          # [R, EMB] fp32
+        z_ref,          # [R, S]   fp32
+        idmask_ref,     # [1, EMB]
+        W0_ref, b0_ref,
+        *rest,
+    ):
+        refs, out_ref = _split_mlp_refs(cfg, rest)
+        A = A_ref[:][:, None, :]                     # [R, 1, EMB]
+        B = B_ref[:][:, None, :]
+        z = z_ref[:][:, :, None]                     # [R, S, 1]
+        z_arg = A + z * B                            # [R, S, EMB]
+        emb3 = jnp.where(idmask_ref[:][None], z_arg, jnp.sin(z_arg))
+        # leading-dims collapse: layout-preserving (trailing (S, EMB) tile
+        # untouched), so this reshape is free
+        emb = emb3.reshape(R * S, z_arg.shape[-1]).astype(compute_dtype)
+        _mlp_from_emb(cfg, compute_dtype, emb, W0_ref, b0_ref, refs, out_ref)
 
     return kernel
 
@@ -394,3 +438,167 @@ def fused_nerf_forward(
     contract: pts [..., S, 3], viewdirs [..., 3] or None -> raw [..., S, 4])."""
     dtype_name = jnp.dtype(compute_dtype).name
     return _fused_nerf_forward((cfg, dtype_name), params, pts, viewdirs)
+
+
+# ---------------------------------------------------------------------------
+# ray-major entry: per-ray (o, d, z) inputs, pts built in-kernel
+# ---------------------------------------------------------------------------
+
+
+def _ray_forward_impl(params, cfg, rays_o, rays_d, z, viewdirs,
+                      compute_dtype):
+    """rays_o/rays_d [N, 3], z [N, S] (S % 8 == 0), viewdirs [N, 3]|None
+    -> raw [N, S, out_ch]."""
+    N, S = z.shape
+    out_ch = 4 if cfg.use_viewdirs else cfg.output_ch
+    out_ch_pad = _round_up(out_ch, 8)
+    blocks = pack_params(params, cfg, compute_dtype)
+    EMB = blocks["F"].shape[1]
+
+    # per-ray encoder arguments (tiny [N, 8] @ [8, EMB] matmuls):
+    #   pre-sine argument for sample s of ray r is A[r] + z[r, s] * B[r]
+    zeros = jnp.zeros((N, 2), jnp.float32)
+    d_cols = (viewdirs if viewdirs is not None
+              else jnp.zeros((N, 3), jnp.float32))
+    x_o = jnp.concatenate(
+        [rays_o.astype(jnp.float32), d_cols.astype(jnp.float32), zeros], -1)
+    x_d = jnp.concatenate(
+        [rays_d.astype(jnp.float32), jnp.zeros((N, 5), jnp.float32)], -1)
+    # HIGHEST precision: these run in XLA (not the kernel), where the TPU
+    # default would lower them to single-pass bf16 — frequencies reach 2^9,
+    # so bf16's 8-bit mantissa would alias whole sinusoid periods
+    A = jnp.dot(x_o, blocks["F"], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + blocks["phase"]
+    B = jnp.dot(x_d, blocks["F"], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+
+    # rows per kernel instance ≈ TILE (the swept matmul sweet spot); the
+    # ray count per block must be sublane-aligned (multiple of 8)
+    R_TILE = max(8, (TILE // S) // 8 * 8)
+    n_pad = _round_up(max(N, R_TILE), R_TILE)
+    if n_pad != N:
+        pad = ((0, n_pad - N), (0, 0))
+        A = jnp.pad(A, pad)
+        B = jnp.pad(B, pad)
+        z = jnp.pad(z, pad)
+    grid = (n_pad // R_TILE,)
+
+    names = ["id_mask", "W0", "b0"]
+    if blocks["Wmid"].shape[0] > 0:
+        names += ["Wmid", "bmid"]
+    if blocks["Wskip"].shape[0] > 0:
+        names += ["Wskip"]
+    if cfg.use_viewdirs:
+        names += ["Wf", "bf", "Wv_f", "Wv_d", "bv", "Wout_h", "Wout_v",
+                  "bout"]
+    else:
+        names += ["Wout_h", "bout"]
+    weight_args = [blocks[k] for k in names]
+
+    def _const_spec(a):
+        nd = a.ndim
+        return pl.BlockSpec(
+            a.shape, lambda i, _nd=nd: (0,) * _nd, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [
+        pl.BlockSpec((R_TILE, EMB), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_TILE, EMB), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R_TILE, S), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [_const_spec(a) for a in weight_args]
+
+    Wp = blocks["W0"].shape[0]
+    flops_per_pt = 2 * (
+        Wp * blocks["W0"].shape[1]
+        + blocks["Wmid"].shape[-2] * blocks["Wmid"].shape[-1]
+        * max(cfg.D - 1, 0)
+    )
+    n_pts = n_pad * S
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _make_ray_kernel(cfg, compute_dtype, R_TILE, S),
+        out_shape=jax.ShapeDtypeStruct((n_pts, out_ch_pad), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (R_TILE * S, out_ch_pad), lambda i: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(flops_per_pt) * n_pts,
+            bytes_accessed=n_pad * (2 * EMB + S) * 4 + n_pts * out_ch_pad * 4,
+            transcendentals=n_pts * EMB,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(A, B, z, *weight_args)
+    return out.reshape(n_pad, S, out_ch_pad)[:N, :, :out_ch]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_rays(static, params, rays_o, rays_d, z, viewdirs):
+    cfg, dtype_name = static
+    compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    return _ray_forward_impl(params, cfg, rays_o, rays_d, z, viewdirs,
+                             compute_dtype)
+
+
+def _fused_rays_fwd(static, params, rays_o, rays_d, z, viewdirs):
+    return (_fused_rays(static, params, rays_o, rays_d, z, viewdirs),
+            (params, rays_o, rays_d, z, viewdirs))
+
+
+def _fused_rays_bwd(static, residuals, g):
+    cfg, dtype_name = static
+    compute_dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    params, rays_o, rays_d, z, viewdirs = residuals
+
+    if viewdirs is None:
+        def f(p, ro, rd, zz):
+            pts = ro[..., None, :] + rd[..., None, :] * zz[..., None]
+            return apply_nerf(p, cfg, pts, None, compute_dtype=compute_dtype)
+
+        _, vjp = jax.vjp(f, params, rays_o, rays_d, z)
+        return (*vjp(g), None)
+
+    def f(p, ro, rd, zz, vd):
+        pts = ro[..., None, :] + rd[..., None, :] * zz[..., None]
+        return apply_nerf(p, cfg, pts, vd, compute_dtype=compute_dtype)
+
+    _, vjp = jax.vjp(f, params, rays_o, rays_d, z, viewdirs)
+    return vjp(g)
+
+
+_fused_rays.defvjp(_fused_rays_fwd, _fused_rays_bwd)
+
+
+def fused_nerf_forward_rays(
+    params,
+    cfg: NeRFConfig,
+    rays_o: jnp.ndarray,           # [N, 3]
+    rays_d: jnp.ndarray,           # [N, 3]
+    z: jnp.ndarray,                # [N, S]
+    viewdirs: Optional[jnp.ndarray],   # [N, 3] or None
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Fused forward taking RAYS instead of points: sample positions
+    pts = o + d·z are reconstructed inside the kernel from per-ray encoder
+    coefficients, so the [N·S, 8] point tensor (and its HBM layout copy —
+    the dense-render tail item of round 2's verdict) never exists.
+
+    Falls back to the per-point kernel when S isn't sublane-aligned.
+    Returns raw [N, S, 4|output_ch]; differentiable w.r.t. everything
+    (backward remats through the jnp twin, like fused_nerf_forward)."""
+    S = z.shape[-1]
+    if S % 8 != 0:
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., None]
+        return fused_nerf_forward(params, cfg, pts, viewdirs,
+                                  compute_dtype=compute_dtype)
+    dtype_name = jnp.dtype(compute_dtype).name
+    return _fused_rays((cfg, dtype_name), params, rays_o, rays_d, z,
+                       viewdirs)

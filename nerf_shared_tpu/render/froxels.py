@@ -47,7 +47,7 @@ from nerf_shared_tpu.models.nerf import NeRFConfig
 from nerf_shared_tpu.render.occupancy import OccupancyGrid, lookup
 from nerf_shared_tpu.render.renderer import (
     RenderConfig,
-    _apply_model,
+    _apply_model_rays,
     _composite,
     _model_parts,
 )
@@ -260,8 +260,7 @@ def _render_ray_block(params_fine, rcfg: RenderConfig, fcfg: NeRFConfig,
         u = 0.5
     z = lo + (hi - lo) * u
     z = jnp.where(va, z, jnp.float32(rcfg.far))  # padding composites to 0
-    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
-    raw = _apply_model(params_fine, fcfg, pts, vd, rcfg)
+    raw = _apply_model_rays(params_fine, fcfg, ro, rd, z, vd, rcfg)
     sigma = jnp.where(va, raw[..., 3], -1e10)
     raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
     rgb, disp, acc, _, _ = _composite(raw, z, rd, rcfg, k_noise, None)

@@ -46,6 +46,7 @@ from nerf_shared_tpu.ops.sampling import sample_along_rays
 from nerf_shared_tpu.render.renderer import (
     RenderConfig,
     _apply_model,
+    _apply_model_rays,
     _composite,
 )
 
@@ -335,8 +336,8 @@ def _render_occ_block(
         z_cand, occ_c, n_keep, far, select
     )  # [R, K]
 
-    pts_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
-    raw = _apply_model(params_fine, fcfg, pts_sel, viewdirs, rcfg)
+    raw = _apply_model_rays(params_fine, fcfg, rays_o, rays_d, z_sel,
+                            viewdirs, rcfg)
     sigma = jnp.where(valid, raw[..., 3], -1e10)
     raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
     rgb, disp, acc, _, _ = _composite(

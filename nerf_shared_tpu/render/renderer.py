@@ -66,6 +66,28 @@ def _apply_model(params, mcfg, pts, viewdirs, rcfg):
     return apply_nerf(params, mcfg, pts, viewdirs, compute_dtype=dtype)
 
 
+def _apply_model_rays(params, mcfg, rays_o, rays_d, z_vals, viewdirs, rcfg):
+    """Ray-form MLP evaluation: under ``use_pallas`` (and outside the fused
+    training path) the sample points are built INSIDE the kernel from
+    (o, d, z) — the [N·S, 8] point tensor and its HBM layout copy (the
+    dense-frame tail itemized in benchmarks/traces/summary.json) never
+    materialize. Other engine policies fall back to pts + _apply_model."""
+    if (rcfg.use_pallas and not rcfg.fused_backward
+            and z_vals.shape[-1] % 8 == 0):
+        from nerf_shared_tpu.ops.pallas.fused_mlp import (
+            fused_nerf_forward_rays,
+        )
+
+        dtype = jnp.bfloat16 if rcfg.precision == "bf16" else jnp.float32
+        return fused_nerf_forward_rays(
+            params, mcfg, rays_o, rays_d, z_vals, viewdirs,
+            compute_dtype=dtype,
+        )
+    pts = (rays_o[..., None, :]
+           + rays_d[..., None, :] * z_vals[..., :, None])
+    return _apply_model(params, mcfg, pts, viewdirs, rcfg)
+
+
 def _composite(raw, z_vals, rays_d, rcfg, key, noise):
     """Compositing dispatch. Measured on v5e: the fused Pallas composite
     (ops/pallas/composite.py) is NET SLOWER here — the [R,S,4]->[4,S,R]
@@ -157,8 +179,8 @@ def render_rays(
         t_rand=overrides.get("t_rand"),
     )  # [N, S]
 
-    pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
-    raw = _apply_model(params_coarse, ccfg, pts, viewdirs, rcfg)
+    raw = _apply_model_rays(params_coarse, ccfg, rays_o, rays_d, z_vals,
+                            viewdirs, rcfg)
     rgb_map, disp_map, acc_map, weights, _ = _composite(
         raw, z_vals, rays_d, rcfg, k_noise_c, overrides.get("noise_coarse")
     )
@@ -183,11 +205,11 @@ def render_rays(
         z_samples = jax.lax.stop_gradient(z_samples)
 
         z_vals = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
-        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
         fine_params = params_coarse if params_fine is None else params_fine
         fine_cfg = ccfg if fcfg is None else fcfg
-        raw = _apply_model(fine_params, fine_cfg, pts, viewdirs, rcfg)
+        raw = _apply_model_rays(fine_params, fine_cfg, rays_o, rays_d,
+                                z_vals, viewdirs, rcfg)
         rgb_map, disp_map, acc_map, weights, _ = _composite(
             raw, z_vals, rays_d, rcfg, k_noise_f, overrides.get("noise_fine")
         )

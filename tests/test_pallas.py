@@ -138,3 +138,94 @@ def test_renderer_pallas_path_matches_jnp():
     np.testing.assert_allclose(np.asarray(r1["rgb_map"]),
                                np.asarray(r2["rgb_map"]),
                                rtol=1e-3, atol=1e-3)
+
+
+def _rays(n=21, S=16, seed=3):
+    rng = np.random.default_rng(seed)
+    ro = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32) * 0.1)
+    rd = rng.standard_normal((n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, -1, keepdims=True)
+    z = jnp.asarray(np.sort(
+        (rng.random((n, S)) * 4 + 2).astype(np.float32), -1))
+    return ro, jnp.asarray(rd), z
+
+
+def test_fused_rays_matches_jnp():
+    """The ray-major kernel (pts built in-kernel from o + d·z via the
+    A + z·B encoder factorization) must reproduce the jnp twin."""
+    from nerf_shared_tpu.ops.pallas.fused_mlp import fused_nerf_forward_rays
+
+    for use_vd, S in ((True, 16), (False, 8), (True, 24)):
+        cfg, params = _setup(D=3, W=32, multires=6, multires_views=3,
+                             skips=(1,), use_viewdirs=use_vd)
+        ro, rd, z = _rays(S=S)
+        vd = rd if use_vd else None
+        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+        ref = apply_nerf(params, cfg, pts, vd)
+        out = fused_nerf_forward_rays(params, cfg, ro, rd, z, vd)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"use_vd={use_vd} S={S}")
+
+
+def test_fused_rays_non_sublane_S_falls_back():
+    """S % 8 != 0 routes through the per-point kernel (same answer)."""
+    from nerf_shared_tpu.ops.pallas.fused_mlp import fused_nerf_forward_rays
+
+    cfg, params = _setup(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    ro, rd, z = _rays(S=11)
+    pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+    ref = apply_nerf(params, cfg, pts, rd)
+    out = fused_nerf_forward_rays(params, cfg, ro, rd, z, rd)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_rays_gradients_match_jnp():
+    """Gradients w.r.t. params AND ray geometry (the pose-estimation
+    requirement) must match the jnp twin."""
+    from nerf_shared_tpu.ops.pallas.fused_mlp import fused_nerf_forward_rays
+
+    cfg, params = _setup(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    ro, rd, z = _rays(n=9, S=8)
+
+    def loss_fused(p, ro, rd, z, vd):
+        return jnp.sum(jnp.sin(fused_nerf_forward_rays(p, cfg, ro, rd, z, vd)))
+
+    def loss_ref(p, ro, rd, z, vd):
+        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+        return jnp.sum(jnp.sin(apply_nerf(p, cfg, pts, vd)))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(params, ro, rd, z, rd)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(params, ro, rd, z, rd)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_renderer_ray_kernel_path_matches_jnp():
+    """use_pallas render_rays now routes through the ray-major kernel (S is
+    sublane-aligned in both phases); output must match the XLA path."""
+    from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
+
+    cfg, params = _setup(D=2, W=64, multires=4, multires_views=2, skips=(0,))
+    rng = np.random.default_rng(0)
+    n = 16
+    rays_o = rng.standard_normal((n, 3)).astype(np.float32) * 0.1
+    rays_d = rng.standard_normal((n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    rb = jnp.asarray(np.concatenate(
+        [rays_o, rays_d, np.full((n, 1), 2, np.float32),
+         np.full((n, 1), 6, np.float32), rays_d], -1))
+    base = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=1.0, white_bkgd=True)
+    import dataclasses
+
+    fast = dataclasses.replace(base, use_pallas=True)
+    key = jax.random.PRNGKey(7)
+    r1 = render_rays(params, None, rb, key, base, cfg, None)
+    r2 = render_rays(params, None, rb, key, fast, cfg, None)
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(np.asarray(r1[k]), np.asarray(r2[k]),
+                                   rtol=1e-3, atol=1e-3, err_msg=k)
