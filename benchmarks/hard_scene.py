@@ -103,6 +103,8 @@ def _cylinder_hit(ro, rd, a, b, r):
 
 def render_gt(c2w, H, W, focal):
     """Exact ray-traced image [H, W, 3] float32 in [0, 1], white bg."""
+    # inf depths flow through masked arithmetic by design
+    np.seterr(invalid="ignore")
     y, x = np.mgrid[:H, :W].astype(np.float32)
     dirs = np.stack(
         [(x - W / 2) / focal, -(y - H / 2) / focal, -np.ones_like(x)], -1

@@ -207,21 +207,28 @@ def train(args):
               f"C={args.train_occ_candidates} K={args.train_occ_keep}, "
               f"grid {args.train_occ_res}^3 (refreshed per dispatch)")
 
+        occ_budget = bool(getattr(args, "train_occ_budget", False))
+        probe_budget = int(getattr(args, "train_occ_probe_budget", 0)) or None
+
         def step_fn(st, images, poses, key):
             warm = int(jax.device_get(st.step)) < args.train_occ_warmup
             occ_b = binarize_density_grid(
                 _dg["dg"], alpha_threshold=args.occ_alpha_thresh,
                 force_occupied=warm,
             )
+            density = _dg["dg"] if (occ_budget and not warm) else None
             if mesh is not None:
                 occ_b = replicate(mesh, occ_b)
+                if density is not None:
+                    density = replicate(mesh, density)
             st, aux = (occ_step_warm if warm else occ_step)(
-                st, occ_b, images, poses, key
+                st, occ_b, images, poses, key, density=density
             )
             _dg["dg"] = update_density_grid(
                 _dg["dg"], st.params["fine"], fcfg, rcfg,
                 jax.random.fold_in(key, 0x7FFFFFFF),
                 decay=args.train_occ_decay,
+                max_probes=probe_budget,
             )
             return st, aux
     else:

@@ -280,6 +280,16 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--train_occ_decay", type=float, default=0.95,
                         help='EMA decay of the training density grid per '
                              'refresh (refreshed once per dispatch)')
+    parser.add_argument("--train_occ_budget", type=_str2bool, default=False,
+                        help='candidate budgeting: weight the random-K '
+                             'selection by the EMA density (exponential-'
+                             'race weighted sampling) so the K-sample '
+                             'budget concentrates on high-density '
+                             'candidates; a floor keeps coverage')
+    parser.add_argument("--train_occ_probe_budget", type=int, default=0,
+                        help='probe at most this many random grid cells '
+                             'per density refresh (0 = whole grid); the '
+                             'scaling valve for grids above 64^3')
     parser.add_argument("--fused_backward", type=_str2bool, default=False,
                         help='train with the fully fused Pallas forward+'
                              'backward kernel (fp32, in-kernel remat; '

@@ -63,6 +63,24 @@ _UNINIT = 1e4  # sentinel: "no probe yet" — binarizes occupied, and the
                # updates, disabling skipping for most of a training run)
 
 
+def lookup_values(values: jnp.ndarray, aabb_min, aabb_max,
+                  pts: jnp.ndarray) -> jnp.ndarray:
+    """pts [..., 3] -> float [...]: nearest-cell read of a [G,G,G] value
+    grid (same row-gather + lane-select formulation as occupancy.lookup).
+    Outside the AABB -> 0."""
+    shape = jnp.asarray(values.shape, jnp.float32)
+    u = (pts - aabb_min) / (aabb_max - aabb_min)
+    in_box = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    idx = jnp.clip((u * shape).astype(jnp.int32), 0,
+                   jnp.asarray(values.shape, jnp.int32) - 1)
+    g0, g1, g2 = values.shape
+    rows = jnp.take(values.reshape(g0 * g1, g2),
+                    idx[..., 0] * g1 + idx[..., 1], axis=0, mode="clip")
+    lane = jax.lax.iota(jnp.int32, g2) == idx[..., 2][..., None]
+    val = jnp.sum(jnp.where(lane, rows, 0.0), axis=-1)
+    return jnp.where(in_box, val, 0.0)
+
+
 def init_density_grid(aabb_min, aabb_max, resolution: int) -> DensityGrid:
     return DensityGrid(
         jnp.full((resolution,) * 3, _UNINIT, jnp.float32),
@@ -71,7 +89,9 @@ def init_density_grid(aabb_min, aabb_max, resolution: int) -> DensityGrid:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("fcfg", "rcfg", "block"))
+@functools.partial(
+    jax.jit, static_argnames=("fcfg", "rcfg", "block", "max_probes")
+)
 def update_density_grid(
     grid: DensityGrid,
     params_fine,
@@ -80,29 +100,51 @@ def update_density_grid(
     key,
     decay: float = 0.95,
     block: int = 65536,
+    max_probes: Optional[int] = None,
 ) -> DensityGrid:
-    """One maintenance pass: probe every cell at one uniformly jittered
-    point, ema = max(ema * decay, sigma). Whole-grid at 64³ is ~0.26M
-    points (a few ms on one chip), amortized across a superstep."""
+    """One maintenance pass: probe cells at one uniformly jittered point
+    each, ema = max(ema * decay, sigma). Whole-grid at 64³ is ~0.26M
+    points (a few ms on one chip), amortized across a superstep.
+
+    ``max_probes``: probe only that many RANDOM cells per refresh (with
+    replacement — collisions are harmless duplicate probes). This is the
+    scaling valve for big grids: at 128³ a whole-grid refresh is 2.1M MLP
+    points; max_probes=262144 keeps the per-refresh bill at the 64³ level
+    while every cell still refreshes every ~8 passes in expectation.
+    Unprobed cells decay (same as NerfAcc's decay-all rule); unprobed
+    UNINIT cells stay occupied until first probed (conservative)."""
     g = grid.ema.shape[0]
+    n = g ** 3
     cell = (grid.aabb_max - grid.aabb_min) / g
-    ax = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
-    centers = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
-    centers = grid.aabb_min + centers.reshape(-1, 3) * (
-        grid.aabb_max - grid.aabb_min
-    )
-    n = centers.shape[0]
-    block = min(block, n)
-    n_blocks = -(-n // block)
-    pad = n_blocks * block - n
-    if pad:
-        centers = jnp.concatenate([centers, centers[:pad]], axis=0)
-    centers = centers.reshape(n_blocks, block, 3)
-    keys = jax.random.split(key, n_blocks)
     dirs = (
         jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32)
         if fcfg.use_viewdirs else None
     )
+    k_idx, key = jax.random.split(key)
+    subsampled = max_probes is not None and max_probes < n
+    if subsampled:
+        m = int(max_probes)
+        idx = jax.random.randint(k_idx, (m,), 0, n)
+        i0 = idx // (g * g)
+        i1 = (idx // g) % g
+        i2 = idx % g
+        centers = grid.aabb_min + (
+            jnp.stack([i0, i1, i2], -1).astype(jnp.float32) + 0.5
+        ) / g * (grid.aabb_max - grid.aabb_min)
+    else:
+        m = n
+        ax = (jnp.arange(g, dtype=jnp.float32) + 0.5) / g
+        centers = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+        centers = grid.aabb_min + centers.reshape(-1, 3) * (
+            grid.aabb_max - grid.aabb_min
+        )
+    block = min(block, m)
+    n_blocks = -(-m // block)
+    pad = n_blocks * block - m
+    if pad:
+        centers = jnp.concatenate([centers, centers[:pad]], axis=0)
+    centers = centers.reshape(n_blocks, block, 3)
+    keys = jax.random.split(key, n_blocks)
 
     def probe(args):
         pts_c, k = args
@@ -110,14 +152,22 @@ def update_density_grid(
         raw = _apply_model(params_fine, fcfg, (pts_c + off)[None], dirs, rcfg)
         return jax.nn.relu(raw[0, :, 3])
 
-    sigma = jax.lax.map(probe, (centers, keys)).reshape(-1)[:n].reshape(
-        (g,) * 3
-    )
-    ema = jnp.where(
-        grid.ema >= _UNINIT,
-        sigma,                                  # first real probe wins
-        jnp.maximum(grid.ema * decay, sigma),
-    )
+    sigma = jax.lax.map(probe, (centers, keys)).reshape(-1)[:m]
+    if subsampled:
+        flat = grid.ema.reshape(-1)
+        decayed = jnp.where(flat >= _UNINIT, flat, flat * decay)
+        old = flat[idx]
+        new_vals = jnp.where(
+            old >= _UNINIT, sigma, jnp.maximum(old * decay, sigma)
+        )
+        ema = decayed.at[idx].set(new_vals).reshape((g,) * 3)
+    else:
+        sigma = sigma.reshape((g,) * 3)
+        ema = jnp.where(
+            grid.ema >= _UNINIT,
+            sigma,                              # first real probe wins
+            jnp.maximum(grid.ema * decay, sigma),
+        )
     return DensityGrid(ema, grid.aabb_min, grid.aabb_max)
 
 
@@ -152,9 +202,9 @@ def binarize_density_grid(
 
 
 def _random_k_of_occupied(key, z_cand, occ_c, n_keep: int, far,
-                          explore: float = 0.0):
-    """Keep ``n_keep`` of each ray's occupied candidates, chosen uniformly
-    at random, compacted in DEPTH ORDER (compositing needs ascending z).
+                          explore: float = 0.0, weights=None):
+    """Keep ``n_keep`` of each ray's occupied candidates, chosen at random,
+    compacted in DEPTH ORDER (compositing needs ascending z).
 
     z_cand [R, C] ascending, occ_c [R, C] bool ->
     (z_sel [R, K] ascending with padding = far, valid [R, K]).
@@ -168,13 +218,29 @@ def _random_k_of_occupied(key, z_cand, occ_c, n_keep: int, far,
     empty keep receiving a trickle of samples and their density (probed
     every grid refresh) can recover. Without it a premature empty mark is
     unrecoverable: unsampled cells get no gradient.
-    """
+
+    ``weights`` [R, C] (optional, >=0): candidate budgeting — selection
+    becomes a weighted sample without replacement via an exponential race
+    (key_i = Exp(1)/w_i; the K smallest win, which is exactly
+    w-proportional sampling w/o replacement). A floor mixes in uniform
+    mass so low-density candidates never starve (the selection analogue of
+    ``explore``). With weights=None the race is uniform (original
+    behavior)."""
     C = z_cand.shape[-1]
     k_u, k_x = jax.random.split(key)
-    u = jax.random.uniform(k_u, z_cand.shape)
+    u = jax.random.uniform(k_u, z_cand.shape, minval=1e-7, maxval=1.0)
     if explore > 0.0:
         occ_c = occ_c | (jax.random.uniform(k_x, occ_c.shape) < explore)
-    keys = jnp.where(occ_c, u, 2.0)
+    if weights is not None:
+        # floor: 25% of the mean occupied weight, so every occupied
+        # candidate keeps a real chance each step
+        w = jnp.maximum(weights, 0.0)
+        mean_w = jnp.sum(jnp.where(occ_c, w, 0.0), -1, keepdims=True) / (
+            jnp.sum(occ_c.astype(jnp.float32), -1, keepdims=True) + 1e-6
+        )
+        w = w + 0.25 * mean_w + 1e-6
+        u = -jnp.log(u) / w                 # Exp(1)/w race keys
+    keys = jnp.where(occ_c, u, jnp.inf)
     kth = jnp.sort(keys, axis=-1)[:, n_keep - 1 : n_keep]   # [R, 1]
     chosen = (keys <= kth) & occ_c                           # [R, C]
     # order-preserving compaction
@@ -198,8 +264,15 @@ def occ_nerf_loss(
     n_candidates: int,
     n_keep: int,
     explore: float = 0.0,
+    density: Optional[DensityGrid] = None,
 ):
-    """MSE of the grid-gated fine render against target pixels."""
+    """MSE of the grid-gated fine render against target pixels.
+
+    ``density``: optional EMA grid for CANDIDATE BUDGETING — the random-K
+    selection becomes density-proportional (exponential-race weighted
+    sampling, see _random_k_of_occupied), so the K-sample budget
+    concentrates where the field says mass is while the floor + explore
+    keep coverage."""
     from nerf_shared_tpu.ops.sampling import sample_along_rays
 
     rays_o, rays_d = ray_batch[:, 0:3], ray_batch[:, 3:6]
@@ -212,10 +285,16 @@ def occ_nerf_loss(
         lindisp=rcfg.lindisp, perturb=rcfg.perturb,
     )  # [N, C]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_cand[..., None]
-    occ_c = lookup(occ, jax.lax.stop_gradient(pts))
+    pts = jax.lax.stop_gradient(pts)
+    occ_c = lookup(occ, pts)
 
+    weights = None
+    if density is not None:
+        ema = jnp.where(density.ema >= _UNINIT, 0.0, density.ema)
+        weights = lookup_values(ema, density.aabb_min, density.aabb_max,
+                                pts)
     z_sel, valid = _random_k_of_occupied(k_sel, z_cand, occ_c, n_keep, far,
-                                         explore=explore)
+                                         explore=explore, weights=weights)
     pts_sel = rays_o[:, None, :] + rays_d[:, None, :] * z_sel[..., None]
     raw = _apply_model(params["fine"], fcfg, pts_sel, viewdirs, rcfg)
     sigma = jnp.where(valid, raw[..., 3], -1e10)
@@ -280,7 +359,7 @@ def make_occ_train_step(
     else:
         local_spec = spec
 
-    def one_step(state: TrainState, occ, images, poses, key):
+    def one_step(state: TrainState, occ, density, images, poses, key):
         batch_offset = 0
         if sharded:
             axis_idx = jax.lax.axis_index("data")
@@ -298,7 +377,7 @@ def make_occ_train_step(
         def loss_fn(params):
             return occ_nerf_loss(
                 params, occ, ray_batch, target, k_render, rcfg, fcfg,
-                n_candidates, n_keep, explore=explore,
+                n_candidates, n_keep, explore=explore, density=density,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -310,12 +389,12 @@ def make_occ_train_step(
             aux["psnr"] = mse2psnr(aux["img_loss"])
         return state.apply_gradients(grads), aux
 
-    def superstep(state: TrainState, occ, images, poses, key):
+    def superstep(state: TrainState, occ, density, images, poses, key):
         if inner_steps == 1:
-            return one_step(state, occ, images, poses, key)
+            return one_step(state, occ, density, images, poses, key)
 
         def body(carry, i):
-            st, aux = one_step(carry, occ, images, poses,
+            st, aux = one_step(carry, occ, density, images, poses,
                                jax.random.fold_in(key, i))
             return st, aux
 
@@ -328,10 +407,17 @@ def make_occ_train_step(
         fn = jax.shard_map(
             superstep,
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P()),
+            in_specs=(P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False,
         )
     else:
         fn = superstep
-    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+    def step(state, occ, images, poses, key, density=None):
+        """``density``: pass the (replicated) DensityGrid to enable
+        candidate budgeting; None keeps uniform random-K selection."""
+        return jitted(state, occ, density, images, poses, key)
+
+    return step

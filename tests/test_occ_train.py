@@ -209,3 +209,104 @@ def test_warmup_noise_breaks_init_gradient_trap():
     quiet = gnorm(rcfg)
     noisy = gnorm(dataclasses.replace(rcfg, raw_noise_std=1.0))
     assert noisy > 10 * quiet, (quiet, noisy)
+
+
+def test_weighted_selection_concentrates_on_high_density():
+    """Candidate budgeting (exponential-race weighted random-K): a
+    candidate with overwhelming weight is always kept; near-uniform
+    weights reproduce uniform selection properties (depth order, counts,
+    padding)."""
+    rng = np.random.default_rng(1)
+    R, C, K = 48, 24, 4
+    z = np.sort(rng.uniform(2, 6, (R, C)), axis=-1).astype(np.float32)
+    occ = np.ones((R, C), bool)
+    far = jnp.full((R, 1), 6.0)
+    w = np.full((R, C), 1e-4, np.float32)
+    w[:, 10] = 1e5                       # one dominant candidate per ray
+    z_sel, valid = OT._random_k_of_occupied(
+        jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(occ), K, far,
+        weights=jnp.asarray(w),
+    )
+    z_sel, valid = np.asarray(z_sel), np.asarray(valid)
+    assert valid.all()
+    # the dominant depth must be among the K selected on (almost) every ray
+    hit = np.abs(z_sel - z[:, 10:11]) < 1e-6
+    assert hit.any(-1).mean() > 0.95
+
+    # near-uniform weights: same structural properties as uniform selection
+    occ2 = rng.random((R, C)) < 0.4
+    wu = jnp.ones((R, C), jnp.float32)
+    z2, v2 = OT._random_k_of_occupied(
+        jax.random.PRNGKey(1), jnp.asarray(z), jnp.asarray(occ2), K, far,
+        weights=wu,
+    )
+    z2, v2 = np.asarray(z2), np.asarray(v2)
+    for r in range(R):
+        assert v2[r].sum() == min(K, occ2[r].sum())
+        sel = z2[r][v2[r]]
+        assert (np.diff(sel) > 0).all()
+        assert np.isin(np.round(sel, 5), np.round(z[r][occ2[r]], 5)).all()
+
+
+def test_budgeted_loss_and_step_run():
+    """occ_nerf_loss + the production step accept a DensityGrid for
+    budgeting: finite loss/grads, selection still valid."""
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    rcfg = _rcfg()
+    H = W = 16
+    K = np.array([[20.0, 0, W / 2], [0, 20.0, H / 2], [0, 0, 1]])
+    spec = PixelSamplerSpec.from_K(H, W, K, N_rand=32, single_image=True,
+                                   precrop_iters=0)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg)
+    images = jnp.full((2, H, W, 3), 0.3, jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(3, 4)] * 2).astype(np.float32))
+    dg = OT.init_density_grid(np.array([-4.0, -4, -4]),
+                              np.array([4.0, 4, 4]), 8)
+    # a probed grid (not the UNINIT sentinel) so the weights are real
+    dg = OT.update_density_grid(dg, state.params["fine"], cfg, rcfg,
+                                jax.random.PRNGKey(3))
+    occ = OT.binarize_density_grid(dg, force_occupied=True)
+    step = OT.make_occ_train_step(rcfg, cfg, spec, n_candidates=12,
+                                  n_keep=6, inner_steps=2, donate=False)
+    st, aux = step(state, occ, images, poses, jax.random.PRNGKey(1),
+                   density=dg)
+    assert np.isfinite(float(aux["loss"]))
+    assert int(st.step) == 2
+    # and without density (the default path still works)
+    st2, aux2 = step(state, occ, images, poses, jax.random.PRNGKey(1))
+    assert np.isfinite(float(aux2["loss"]))
+
+
+def test_probe_subsampling_updates_subset_and_converges():
+    """max_probes: only probed cells replace their sentinel; repeated
+    subsampled refreshes converge to the whole-grid refresh's occupancy."""
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    rcfg = _rcfg(perturb=0.0)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg)
+    lo, hi = np.array([-2.0, -2, -2]), np.array([2.0, 2, 2])
+    g = 8
+    full = OT.update_density_grid(OT.init_density_grid(lo, hi, g),
+                                  state.params["fine"], cfg, rcfg,
+                                  jax.random.PRNGKey(0))
+    # one subsampled pass: some cells must still carry the UNINIT sentinel
+    part = OT.update_density_grid(OT.init_density_grid(lo, hi, g),
+                                  state.params["fine"], cfg, rcfg,
+                                  jax.random.PRNGKey(0), max_probes=64)
+    n_uninit = int(np.sum(np.asarray(part.ema) >= OT._UNINIT))
+    assert 0 < n_uninit < g ** 3
+    # many passes: sentinel count goes to ~zero and values approximate the
+    # full probe (same field, different jitter draws)
+    dg = OT.init_density_grid(lo, hi, g)
+    for i in range(100):
+        dg = OT.update_density_grid(dg, state.params["fine"], cfg, rcfg,
+                                    jax.random.fold_in(
+                                        jax.random.PRNGKey(1), i),
+                                    max_probes=64)
+    # probes draw WITH replacement: a couple of coupon-collector stragglers
+    # may remain — they stay conservatively occupied, by design
+    probed = np.asarray(dg.ema) < OT._UNINIT
+    assert probed.mean() > 0.99
+    occ_full = np.asarray(OT.binarize_density_grid(full).grid)
+    occ_part = np.asarray(OT.binarize_density_grid(dg).grid)
+    agree = (occ_full == occ_part)[probed].mean()
+    assert agree > 0.9, agree
