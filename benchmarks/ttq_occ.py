@@ -113,16 +113,27 @@ def main():
                         use_viewdirs=True, white_bkgd=True, perturb=1.0,
                         fused_backward=on_tpu, use_pallas=on_tpu)
     if not a.skip_hierarchical:
+        import dataclasses as _dch
+
         state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
                                    lrate=5e-4, lrate_decay=250)
-        step = make_fused_train_step(rcfg, cfg, cfg, spec, inner_steps=inner)
+        step = make_fused_train_step(rcfg, cfg, cfg, spec, inner_steps=inner,
+                                     donate=False)
+        # warmup sigma noise: the robust escape from the white-background
+        # transparency trap (precrop alone is RNG-fragile at 400p on the
+        # hard scene — measured; the occ phase below has used this since
+        # round 2). raw_noise_std is the reference's own regularizer.
+        step_warm = make_fused_train_step(
+            _dch.replace(rcfg, raw_noise_std=1.0), cfg, cfg, spec,
+            inner_steps=inner, donate=False)
         state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))
         state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
                                    lrate=5e-4, lrate_decay=250)
         t0 = time.perf_counter()
         for i in range(0, a.steps, inner):
-            state, aux = step(state, imgs_d, poses_d,
-                              jax.random.fold_in(jax.random.PRNGKey(1), i))
+            state, aux = (step_warm if i < a.warmup else step)(
+                state, imgs_d, poses_d,
+                jax.random.fold_in(jax.random.PRNGKey(1), i))
             float(aux["loss"])  # fence
             wall = time.perf_counter() - t0
             rec = {"impl": "hierarchical", "step": i + inner,
