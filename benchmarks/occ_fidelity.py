@@ -54,10 +54,37 @@ def main():
     ap.add_argument("--render_size", type=int, default=400)
     ap.add_argument("--grid_res", type=int, default=128)
     ap.add_argument("--alpha_thresh", type=float, default=1e-3)
+    ap.add_argument("--scene", type=str, default="spheres",
+                    choices=("spheres", "hard"),
+                    help="'hard' = checkerboard+thin-rod stress scene "
+                         "(benchmarks/hard_scene.py, the real-dataset "
+                         "stand-in); trains with the warmup-noise + precrop "
+                         "escape the ttq harness uses at 400p")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="steps with raw_noise_std=1.0 (white-background "
+                         "transparency-trap escape; required on the hard "
+                         "scene at 400p)")
+    ap.add_argument("--precrop_iters", type=int, default=0)
+    ap.add_argument("--log", type=str, default=None,
+                    help="append result JSON lines to this file")
     a = ap.parse_args()
 
+    log_f = open(a.log, "a") if a.log else None
+
+    def emit(rec):
+        line = json.dumps(rec)
+        print(line)
+        if log_f:
+            log_f.write(line + "\n")
+            log_f.flush()
+
     # ---- train the flagship architecture on the analytic scene ----
-    images, poses, K, H, W, i_train, i_test = make_scene(size=a.train_size)
+    if a.scene == "hard":
+        from benchmarks.hard_scene import make_scene as make_hard
+
+        images, poses, K, H, W, i_train, i_test = make_hard(size=a.train_size)
+    else:
+        images, poses, K, H, W, i_train, i_test = make_scene(size=a.train_size)
     cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
                      multires_views=4, skips=(4,))
     fused = jax.default_backend() == "tpu"
@@ -67,17 +94,25 @@ def main():
         fused_backward=fused, use_pallas=fused,
     )
     spec = PixelSamplerSpec.from_K(H, W, K, N_rand=1024, single_image=True,
-                                   precrop_iters=0)
+                                   precrop_iters=a.precrop_iters)
     state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
                                lrate_decay=250)
     inner = 250
-    step = make_fused_train_step(rcfg_train, cfg, cfg, spec, inner_steps=inner)
+    step = make_fused_train_step(rcfg_train, cfg, cfg, spec, inner_steps=inner,
+                                 donate=False)
+    if a.warmup:
+        import dataclasses as _dc
+
+        step_warm = make_fused_train_step(
+            _dc.replace(rcfg_train, raw_noise_std=1.0), cfg, cfg, spec,
+            inner_steps=inner, donate=False)
     imgs_d = jnp.asarray(images[i_train])
     poses_d = jnp.asarray(poses[i_train][:, :3, :4])
     t0 = time.perf_counter()
     for i in range(0, a.steps, inner):
-        state, aux = step(state, imgs_d, poses_d,
-                          jax.random.fold_in(jax.random.PRNGKey(1), i))
+        use = step_warm if (a.warmup and i < a.warmup) else step
+        state, aux = use(state, imgs_d, poses_d,
+                         jax.random.fold_in(jax.random.PRNGKey(1), i))
     loss = float(aux["loss"])
     print(f"trained {a.steps} steps in {time.perf_counter()-t0:.1f}s, "
           f"final loss {loss:.5f} (train PSNR {-10*np.log10(loss):.1f} dB)")
@@ -118,7 +153,7 @@ def main():
     rgb_dense, t_dense = timed(lambda: renderer.render_from_pose(
         Rs, Rs, Kr, 32768, c2w, (params["coarse"], cfg), fine,
         retraw=False)[0])
-    print(json.dumps({"path": "dense 64+128", "s_per_frame": round(t_dense, 4)}))
+    emit({"path": "dense 64+128", "s_per_frame": round(t_dense, 4)})
 
     rays_flat, _ = renderer._pack_rays(Rs, Rs, Kr, None, c2w, None)
     results = {}
@@ -128,9 +163,8 @@ def main():
             n_candidates=C, n_keep=Kp, gate_rays=False))
         p = psnr(ret["rgb_map"].reshape(Rs, Rs, 3), rgb_dense)
         results[f"occ C={C} K={Kp}"] = (p, t)
-        print(json.dumps({"path": f"occ C={C} K={Kp}",
-                          "psnr_vs_dense_db": round(p, 2),
-                          "s_per_frame": round(t, 4)}))
+        emit({"path": f"occ C={C} K={Kp}",
+              "psnr_vs_dense_db": round(p, 2), "s_per_frame": round(t, 4)})
 
     for C, Kp, corners in ((64, 8, False), (64, 16, False), (64, 16, True),
                            (128, 8, False), (128, 16, False),
@@ -141,17 +175,21 @@ def main():
         p = psnr(ret["rgb_map"], rgb_dense)
         name = f"froxel C={C} K={Kp}{' corners' if corners else ''}"
         results[name] = (p, t)
-        print(json.dumps({"path": name, "psnr_vs_dense_db": round(p, 2),
-                          "s_per_frame": round(t, 4)}))
+        emit({"path": name, "psnr_vs_dense_db": round(p, 2),
+              "s_per_frame": round(t, 4)})
 
     best = {k: v for k, v in results.items() if v[0] >= 30.0}
-    print(json.dumps({
+    emit({
         "metric": "occ_fidelity",
+        "scene": a.scene,
+        "train_steps": a.steps,
         "dense_s_per_frame": round(t_dense, 4),
         "presets_ge_30db": {k: {"psnr": round(v[0], 2),
                                 "s_per_frame": round(v[1], 4)}
                             for k, v in best.items()},
-    }))
+    })
+    if log_f:
+        log_f.close()
 
 
 if __name__ == "__main__":
