@@ -198,9 +198,9 @@ def _split_mlp_refs(cfg: NeRFConfig, rest):
     return refs, out_ref
 
 
-def _mlp_from_emb(cfg, compute_dtype, emb, W0_ref, b0_ref, refs, out_ref):
-    """The shared MLP trunk + head, from the encoded features to the raw
-    output store."""
+def _mlp_out_value(cfg, compute_dtype, emb, W0_ref, b0_ref, refs):
+    """The shared MLP trunk + head: encoded features -> raw output VALUE
+    [T, OUT-lanes] fp32 (callers store or composite it)."""
     acc_dtype = jnp.float32
     h = jnp.maximum(
         jnp.dot(emb, W0_ref[:], preferred_element_type=acc_dtype)
@@ -240,6 +240,11 @@ def _mlp_from_emb(cfg, compute_dtype, emb, W0_ref, b0_ref, refs, out_ref):
             jnp.dot(h, refs["Wout_h"][:], preferred_element_type=acc_dtype)
             + refs["bout"][:]
         )
+    return out
+
+
+def _mlp_from_emb(cfg, compute_dtype, emb, W0_ref, b0_ref, refs, out_ref):
+    out = _mlp_out_value(cfg, compute_dtype, emb, W0_ref, b0_ref, refs)
     # store only the used channels: the full 128-lane tile to HBM would
     # be a 32x write amplification (6+ GB per 800p render block)
     out_ref[:] = out[:, : out_ref.shape[-1]].astype(out_ref.dtype)

@@ -88,6 +88,33 @@ def _apply_model_rays(params, mcfg, rays_o, rays_d, z_vals, viewdirs, rcfg):
     return _apply_model(params, mcfg, pts, viewdirs, rcfg)
 
 
+def _fused_render_eligible(rcfg, z_vals, noise, need_raw):
+    """The single-dispatch MLP+composite kernel applies when the engine is on
+    the Pallas render path, the sample count is sublane-aligned, and nothing
+    downstream needs per-sample raw values or sigma noise (rendering defaults:
+    raw_noise_std == 0)."""
+    return (rcfg.use_pallas and not rcfg.fused_backward
+            and z_vals.shape[-1] % 8 == 0
+            and rcfg.raw_noise_std == 0.0 and noise is None
+            and not need_raw)
+
+
+def _apply_render_fused(params, mcfg, rays_o, rays_d, z_vals, viewdirs, rcfg,
+                        want_weights):
+    """MLP + raw2outputs as ONE Pallas dispatch (ops/pallas/fused_render.py):
+    per-sample raw values never reach HBM — the dense-frame raw-output round
+    trip (131 ms of layout copy + composite fusions per 800p frame,
+    benchmarks/traces/summary.json) collapses into per-ray stores."""
+    from nerf_shared_tpu.ops.pallas.fused_render import fused_render_rays
+
+    dtype = jnp.bfloat16 if rcfg.precision == "bf16" else jnp.float32
+    return fused_render_rays(
+        params, mcfg, rays_o, rays_d, z_vals, viewdirs,
+        white_bkgd=rcfg.white_bkgd, want_weights=want_weights,
+        compute_dtype=dtype,
+    )
+
+
 def _composite(raw, z_vals, rays_d, rcfg, key, noise):
     """Compositing dispatch. Measured on v5e: the fused Pallas composite
     (ops/pallas/composite.py) is NET SLOWER here — the [R,S,4]->[4,S,R]
@@ -179,15 +206,25 @@ def render_rays(
         t_rand=overrides.get("t_rand"),
     )  # [N, S]
 
-    raw = _apply_model_rays(params_coarse, ccfg, rays_o, rays_d, z_vals,
-                            viewdirs, rcfg)
-    rgb_map, disp_map, acc_map, weights, _ = _composite(
-        raw, z_vals, rays_d, rcfg, k_noise_c, overrides.get("noise_coarse")
-    )
-
     ret: Dict[str, jnp.ndarray] = {}
-    if retraw_coarse:
-        ret["raw0"] = raw
+    # with N_importance == 0 the coarse pass IS the final pass and owns the
+    # retraw/'raw' contract
+    coarse_needs_raw = retraw_coarse or (retraw and rcfg.N_importance == 0)
+    if _fused_render_eligible(rcfg, z_vals, overrides.get("noise_coarse"),
+                              need_raw=coarse_needs_raw):
+        rgb_map, disp_map, acc_map, weights, _ = _apply_render_fused(
+            params_coarse, ccfg, rays_o, rays_d, z_vals, viewdirs, rcfg,
+            want_weights=True,
+        )
+    else:
+        raw = _apply_model_rays(params_coarse, ccfg, rays_o, rays_d, z_vals,
+                                viewdirs, rcfg)
+        rgb_map, disp_map, acc_map, weights, _ = _composite(
+            raw, z_vals, rays_d, rcfg, k_noise_c,
+            overrides.get("noise_coarse")
+        )
+        if retraw_coarse:
+            ret["raw0"] = raw
     if rcfg.N_importance > 0:
         rgb_map_0, disp_map_0, acc_map_0 = rgb_map, disp_map, acc_map
 
@@ -208,11 +245,21 @@ def render_rays(
 
         fine_params = params_coarse if params_fine is None else params_fine
         fine_cfg = ccfg if fcfg is None else fcfg
-        raw = _apply_model_rays(fine_params, fine_cfg, rays_o, rays_d,
-                                z_vals, viewdirs, rcfg)
-        rgb_map, disp_map, acc_map, weights, _ = _composite(
-            raw, z_vals, rays_d, rcfg, k_noise_f, overrides.get("noise_fine")
-        )
+        if _fused_render_eligible(rcfg, z_vals, overrides.get("noise_fine"),
+                                  need_raw=retraw):
+            # the fine pass needs no per-sample outputs unless the caller
+            # asked for weights — per-ray stores only (the dense-frame win)
+            rgb_map, disp_map, acc_map, weights, _ = _apply_render_fused(
+                fine_params, fine_cfg, rays_o, rays_d, z_vals, viewdirs,
+                rcfg, want_weights=retweights,
+            )
+        else:
+            raw = _apply_model_rays(fine_params, fine_cfg, rays_o, rays_d,
+                                    z_vals, viewdirs, rcfg)
+            rgb_map, disp_map, acc_map, weights, _ = _composite(
+                raw, z_vals, rays_d, rcfg, k_noise_f,
+                overrides.get("noise_fine")
+            )
         ret["rgb0"] = rgb_map_0
         ret["disp0"] = disp_map_0
         ret["acc0"] = acc_map_0

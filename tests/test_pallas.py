@@ -229,3 +229,151 @@ def test_renderer_ray_kernel_path_matches_jnp():
     for k in ("rgb_map", "disp_map", "acc_map"):
         np.testing.assert_allclose(np.asarray(r1[k]), np.asarray(r2[k]),
                                    rtol=1e-3, atol=1e-3, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# fused MLP + composite render kernel (ops/pallas/fused_render.py)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_render_matches_twin():
+    """Single-dispatch MLP+composite must reproduce apply_nerf+raw2outputs.
+    Tolerance note: the kernel's exclusive transmittance cumprod runs in log
+    space (exp of a summed log), which differs from the twin's cumprod by
+    O(S·eps·|log alpha|) ~ a few 1e-4 — invisible at render PSNR scales."""
+    from nerf_shared_tpu.ops.pallas.fused_render import (
+        _twin,
+        fused_render_rays,
+    )
+
+    for use_vd, wb, S in ((True, True, 16), (True, False, 24),
+                          (False, True, 8)):
+        cfg, params = _setup(D=3, W=32, multires=6, multires_views=3,
+                             skips=(1,), use_viewdirs=use_vd)
+        ro, rd, z = _rays(S=S)
+        vd = rd if use_vd else None
+        out = fused_render_rays(params, cfg, ro, rd, z, vd, white_bkgd=wb,
+                                want_weights=True)
+        ref = _twin(params, cfg, ro, rd, z, vd, wb, jnp.float32)
+        for name, a, b in zip(("rgb", "disp", "acc", "weights", "depth"),
+                              out, ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-3,
+                err_msg=f"{name} use_vd={use_vd} wb={wb} S={S}")
+
+
+def test_fused_render_no_weights_variant():
+    """want_weights=False returns a zero-width placeholder and identical
+    per-ray outputs (the fine-pass fast path)."""
+    from nerf_shared_tpu.ops.pallas.fused_render import fused_render_rays
+
+    cfg, params = _setup(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    ro, rd, z = _rays(S=16)
+    full = fused_render_rays(params, cfg, ro, rd, z, rd, white_bkgd=True,
+                             want_weights=True)
+    slim = fused_render_rays(params, cfg, ro, rd, z, rd, white_bkgd=True,
+                             want_weights=False)
+    assert slim[3].shape == (ro.shape[0], 0)
+    for i in (0, 1, 2, 4):
+        np.testing.assert_allclose(np.asarray(full[i]), np.asarray(slim[i]),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_fused_render_gradients():
+    """Pose-optimization contract: grads w.r.t. ray geometry flow through the
+    fused render (custom_vjp remat through the jnp twins). The backward IS
+    the twin's vjp, so the only divergence is the forward error entering the
+    cotangent — bounded relative to the gradient scale."""
+    from nerf_shared_tpu.ops.pallas.fused_render import (
+        _twin,
+        fused_render_rays,
+    )
+
+    cfg, params = _setup(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    ro, rd, z = _rays(n=9, S=8)
+
+    def loss_fused(r_o):
+        rgb, _, _, _, _ = fused_render_rays(params, cfg, r_o, rd, z, rd,
+                                            white_bkgd=True,
+                                            want_weights=False)
+        return jnp.sum(rgb ** 2)
+
+    def loss_ref(r_o):
+        rgb, _, _, _, _ = _twin(params, cfg, r_o, rd, z, rd, True,
+                                jnp.float32)
+        return jnp.sum(rgb ** 2)
+
+    g1 = jax.grad(loss_fused)(ro)
+    g2 = jax.grad(loss_ref)(ro)
+    scale = max(1.0, float(jnp.max(jnp.abs(g2))))
+    np.testing.assert_allclose(np.asarray(g1) / scale,
+                               np.asarray(g2) / scale, rtol=0, atol=1e-2)
+
+
+def test_render_rays_fused_composite_full_surface():
+    """use_pallas render_rays (now MLP+composite in one dispatch per pass)
+    must match the XLA path on EVERY returned key, and the retraw/retweights
+    fall-backs must keep their contracts."""
+    from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
+
+    cfg, params = _setup(D=2, W=64, multires=4, multires_views=2, skips=(0,))
+    rng = np.random.default_rng(5)
+    n = 12
+    rays_o = rng.standard_normal((n, 3)).astype(np.float32) * 0.1
+    rays_d = rng.standard_normal((n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    rb = jnp.asarray(np.concatenate(
+        [rays_o, rays_d, np.full((n, 1), 2, np.float32),
+         np.full((n, 1), 6, np.float32), rays_d], -1))
+    base = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=1.0, white_bkgd=True)
+    import dataclasses
+
+    fast = dataclasses.replace(base, use_pallas=True)
+    key = jax.random.PRNGKey(3)
+    r1 = render_rays(params, None, rb, key, base, cfg, None, retweights=True)
+    r2 = render_rays(params, None, rb, key, fast, cfg, None, retweights=True)
+    assert set(r1.keys()) == set(r2.keys())
+    for k in sorted(r1):
+        np.testing.assert_allclose(np.asarray(r1[k]), np.asarray(r2[k]),
+                                   rtol=2e-3, atol=2e-3, err_msg=k)
+
+    # retraw forces the raw-returning path and keeps the key present
+    r3 = render_rays(params, None, rb, key, fast, cfg, None, retraw=True,
+                     retraw_coarse=True)
+    assert "raw" in r3 and "raw0" in r3
+    np.testing.assert_allclose(
+        np.asarray(r3["rgb_map"]), np.asarray(r2["rgb_map"]),
+        rtol=2e-3, atol=2e-3)
+
+    # N_importance == 0 + retraw: the coarse pass owns the 'raw' contract
+    solo = dataclasses.replace(fast, N_importance=0)
+    r4 = render_rays(params, None, rb, key, solo, cfg, None, retraw=True)
+    assert r4["raw"].shape == (n, 8, 4)
+
+
+def test_fused_render_sigma_noise_falls_back():
+    """raw_noise_std != 0 (training-only regularizer) must keep the exact
+    noise semantics by routing through the raw + raw2outputs path."""
+    from nerf_shared_tpu.render.renderer import RenderConfig, render_rays
+
+    cfg, params = _setup(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    rng = np.random.default_rng(6)
+    n = 8
+    rays_o = rng.standard_normal((n, 3)).astype(np.float32) * 0.1
+    rays_d = rng.standard_normal((n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, -1, keepdims=True)
+    rb = jnp.asarray(np.concatenate(
+        [rays_o, rays_d, np.full((n, 1), 2, np.float32),
+         np.full((n, 1), 6, np.float32), rays_d], -1))
+    import dataclasses
+
+    base = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=1.0, white_bkgd=True, raw_noise_std=1.0)
+    fast = dataclasses.replace(base, use_pallas=True)
+    key = jax.random.PRNGKey(11)
+    r1 = render_rays(params, None, rb, key, base, cfg, None)
+    r2 = render_rays(params, None, rb, key, fast, cfg, None)
+    np.testing.assert_allclose(np.asarray(r1["rgb_map"]),
+                               np.asarray(r2["rgb_map"]),
+                               rtol=1e-3, atol=1e-3)
