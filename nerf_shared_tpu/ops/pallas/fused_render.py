@@ -19,10 +19,15 @@ outputs — 8 floats (+ S weight floats for the coarse pass) instead of S·8:
 
 Layout strategy: the MLP's output value [T=R·S, 128] is split (free
 leading-dim reshape, same trick as the encoder's collapse) into
-[R, S, 128]; per-channel maps become lane-masked reductions to [R, S]
-(samples on lanes), where the exclusive transmittance cumsum is a
+[R, S, 128]; per-channel maps are narrow lane slices to [R, S] (samples
+on lanes), where the exclusive transmittance cumsum is a
 strict-upper-triangular matmul and every per-ray output a lane reduction.
-The composite matmul adds 2·R·S² FLOPs per tile — ~0.03% of the MLP's.
+The composite matmul adds 2·R·S² FLOPs per tile — ~0.03% of the MLP's —
+and its wall cost is flat in matmul precision (measured: DEFAULT ==
+HIGHEST at M=8 sublane utilization), so HIGHEST costs nothing. Measured
+kernel rate at S=192: 69.9 Mpts/s vs 75.4 for the MLP-only ray kernel;
+the +8% buys out the ray path's ~20 ms/12.6M-pt downstream (raw layout
+copy + composite fusions), netting ~4% per frame.
 
 Semantics: ops/compositing.py raw2outputs with raw_noise_std=0 (rendering;
 the sigma-noise regularizer is training-only, same contract as
@@ -101,13 +106,14 @@ def _make_render_kernel(cfg: NeRFConfig, compute_dtype, R: int, S: int,
         raw = _mlp_out_value(cfg, compute_dtype, emb, W0_ref, b0_ref, refs)
         X = raw.reshape(R, S, raw.shape[-1])         # free leading-dim split
 
-        # --- per-channel maps [R, S]: lane-masked reductions ---
-        ch = jax.lax.broadcasted_iota(jnp.int32, X.shape, 2)
-        sigma = jnp.sum(jnp.where(ch == 3, X, 0.0), axis=-1)      # [R, S]
-        rgb_ch = [
-            jax.nn.sigmoid(jnp.sum(jnp.where(ch == c, X, 0.0), axis=-1))
-            for c in range(3)
-        ]
+        # --- per-channel maps [R, S]: narrow-slice then lane-extract.
+        # measured on-chip at S=192 (65k rays): slice extraction 180 ms vs
+        # iota-masked reductions 205 ms — the masked form reads all 128
+        # lanes of X four times; slicing to the 8 used lanes first reads
+        # once and extracts from 1/16 the data ---
+        X8 = X[:, :, :8]
+        sigma = X8[:, :, 3]                                       # [R, S]
+        rgb_ch = [jax.nn.sigmoid(X8[:, :, c]) for c in range(3)]
 
         # --- composite (raw2outputs, noise-free) ---
         dists = dists_ref[:]
