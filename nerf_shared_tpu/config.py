@@ -202,6 +202,11 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--use_pallas", type=_str2bool, default=True,
                         help='use fused Pallas TPU kernels on the hot path '
                              '(falls back to pure-jnp twins when unavailable)')
+    parser.add_argument("--fused_composite", type=_str2bool, default=False,
+                        help='render MLP + alpha composite as one Pallas '
+                             'dispatch (no per-sample HBM traffic). Off by '
+                             'default: measured net slower than the ray '
+                             'kernel + XLA composite on v5e at 800p')
     parser.add_argument("--jax_seed", type=int, default=0,
                         help='base PRNG seed for jax.random')
     parser.add_argument("--N_iters", type=int, default=200000,

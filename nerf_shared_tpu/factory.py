@@ -74,6 +74,8 @@ def get_renderer(args, bds_dict) -> Renderer:
         lindisp=args.lindisp,
         precision=getattr(args, "precision", "fp32"),
         use_pallas=use_pallas,
+        fused_composite=use_pallas
+        and bool(getattr(args, "fused_composite", False)),
         remat=bool(getattr(args, "remat", False)),
         **bds_dict,
     )

@@ -93,7 +93,8 @@ def _fused_render_eligible(rcfg, z_vals, noise, need_raw):
     the Pallas render path, the sample count is sublane-aligned, and nothing
     downstream needs per-sample raw values or sigma noise (rendering defaults:
     raw_noise_std == 0)."""
-    return (rcfg.use_pallas and not rcfg.fused_backward
+    return (rcfg.use_pallas and rcfg.fused_composite
+            and not rcfg.fused_backward
             and z_vals.shape[-1] % 8 == 0
             and rcfg.raw_noise_std == 0.0 and noise is None
             and not need_raw)
@@ -162,6 +163,15 @@ class RenderConfig:
     # 'bf16' runs the matmuls with bf16 operands at full MXU rate while the
     # encoder, accumulation, and gradient sums stay fp32
     fused_backward: bool = False
+    # MLP + alpha composite as ONE Pallas dispatch (ops/pallas/fused_render):
+    # per-sample raw values never reach HBM. Off by default — measured on
+    # v5e at 800p the single-kernel form is net SLOWER than the ray-major
+    # MLP kernel + XLA composite (2.08 vs 1.99 s/frame: the composite's
+    # in-kernel slices/reductions cost more MXU-idle time than the raw
+    # round-trip costs bandwidth). Kept for memory-constrained regimes and
+    # hardware where the trade flips; correctness is pinned by tests either
+    # way.
+    fused_composite: bool = False
 
 
 def render_rays(
@@ -210,8 +220,13 @@ def render_rays(
     # with N_importance == 0 the coarse pass IS the final pass and owns the
     # retraw/'raw' contract
     coarse_needs_raw = retraw_coarse or (retraw and rcfg.N_importance == 0)
-    if _fused_render_eligible(rcfg, z_vals, overrides.get("noise_coarse"),
-                              need_raw=coarse_needs_raw):
+    # hierarchical coarse pass stays on the ray kernel + XLA composite:
+    # it must emit weights for sample_pdf anyway, and at S=64 the in-kernel
+    # composite runs ~55 Mpts/s vs ~70 at S=192 (per-ray tile overheads
+    # amortize over 3x fewer samples) — measured slower end-to-end
+    if rcfg.N_importance == 0 and _fused_render_eligible(
+            rcfg, z_vals, overrides.get("noise_coarse"),
+            need_raw=coarse_needs_raw):
         rgb_map, disp_map, acc_map, weights, _ = _apply_render_fused(
             params_coarse, ccfg, rays_o, rays_d, z_vals, viewdirs, rcfg,
             want_weights=True,
@@ -334,6 +349,7 @@ class Renderer:
         use_pallas: bool = False,
         remat: bool = False,
         fused_backward: bool = False,
+        fused_composite: bool = False,
     ):
         self.cfg = RenderConfig(
             perturb=float(perturb),
@@ -350,6 +366,7 @@ class Renderer:
             use_pallas=bool(use_pallas),
             remat=bool(remat),
             fused_backward=bool(fused_backward),
+            fused_composite=bool(fused_composite),
         )
         self._training = True
 

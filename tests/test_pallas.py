@@ -329,7 +329,8 @@ def test_render_rays_fused_composite_full_surface():
                         perturb=1.0, white_bkgd=True)
     import dataclasses
 
-    fast = dataclasses.replace(base, use_pallas=True)
+    fast = dataclasses.replace(base, use_pallas=True,
+                               fused_composite=True)
     key = jax.random.PRNGKey(3)
     r1 = render_rays(params, None, rb, key, base, cfg, None, retweights=True)
     r2 = render_rays(params, None, rb, key, fast, cfg, None, retweights=True)
@@ -370,7 +371,8 @@ def test_fused_render_sigma_noise_falls_back():
 
     base = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
                         perturb=1.0, white_bkgd=True, raw_noise_std=1.0)
-    fast = dataclasses.replace(base, use_pallas=True)
+    fast = dataclasses.replace(base, use_pallas=True,
+                               fused_composite=True)
     key = jax.random.PRNGKey(11)
     r1 = render_rays(params, None, rb, key, base, cfg, None)
     r2 = render_rays(params, None, rb, key, fast, cfg, None)
