@@ -157,26 +157,35 @@ def main():
 
     rays_flat, _ = renderer._pack_rays(Rs, Rs, Kr, None, c2w, None)
     results = {}
-    for C, Kp in ((128, 64), (128, 32), (64, 16)):
-        (ret), t = timed(lambda C=C, Kp=Kp: render_flat_rays_occ(
+    for C, Kp, sel in ((128, 64, "sort"), (128, 32, "sort"),
+                       (64, 16, "sort"), (64, 16, "weighted"),
+                       (128, 32, "weighted"), (64, 32, "weighted")):
+        (ret), t = timed(lambda C=C, Kp=Kp, s=sel: render_flat_rays_occ(
             rays_flat, fine, occ, rcfg, cfg, chunk=32768,
-            n_candidates=C, n_keep=Kp, gate_rays=False))
+            n_candidates=C, n_keep=Kp, select=s, gate_rays=False))
         p = psnr(ret["rgb_map"].reshape(Rs, Rs, 3), rgb_dense)
-        results[f"occ C={C} K={Kp}"] = (p, t)
-        emit({"path": f"occ C={C} K={Kp}",
+        name = f"occ C={C} K={Kp}" + (" weighted" if sel == "weighted" else "")
+        results[name] = (p, t)
+        emit({"path": name,
               "psnr_vs_dense_db": round(p, 2), "s_per_frame": round(t, 4)})
 
+    # sigma-carrying grids select bins by estimated contribution
+    # (froxels._select_bins_weighted); a bits-only view of the same grid
+    # gives the nearest-K control so the two policies are separable rows
+    occ_bits = occ._replace(sigma=None)
     for C, Kp, corners in ((64, 8, False), (64, 16, False), (64, 16, True),
                            (128, 8, False), (128, 16, False),
                            (64, 32, False)):
-        (ret), t = timed(lambda C=C, Kp=Kp, co=corners: render_image_froxels(
-            fine, occ, rcfg, Rs, Rs, Kr, c2w, n_depth=C, n_keep=Kp,
-            corner_rays=co))
-        p = psnr(ret["rgb_map"], rgb_dense)
-        name = f"froxel C={C} K={Kp}{' corners' if corners else ''}"
-        results[name] = (p, t)
-        emit({"path": name, "psnr_vs_dense_db": round(p, 2),
-              "s_per_frame": round(t, 4)})
+        for g, tag in ((occ, " weighted"), (occ_bits, "")):
+            (ret), t = timed(
+                lambda C=C, Kp=Kp, co=corners, g=g: render_image_froxels(
+                    fine, g, rcfg, Rs, Rs, Kr, c2w, n_depth=C, n_keep=Kp,
+                    corner_rays=co))
+            p = psnr(ret["rgb_map"], rgb_dense)
+            name = f"froxel C={C} K={Kp}{' corners' if corners else ''}{tag}"
+            results[name] = (p, t)
+            emit({"path": name, "psnr_vs_dense_db": round(p, 2),
+                  "s_per_frame": round(t, 4)})
 
     best = {k: v for k, v in results.items() if v[0] >= 30.0}
     emit({

@@ -44,7 +44,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_shared_tpu.models.nerf import NeRFConfig
-from nerf_shared_tpu.render.occupancy import OccupancyGrid, lookup
+from nerf_shared_tpu.render.occupancy import (
+    OccupancyGrid,
+    lookup,
+    lookup_sigma,
+)
 from nerf_shared_tpu.render.renderer import (
     RenderConfig,
     _apply_model_rays,
@@ -65,6 +69,11 @@ class FroxelGrid(NamedTuple):
     z0: jnp.ndarray      # [C] float32 — the stratum's deterministic
                          # (perturb=0) sample depth, i.e. the linspace point
                          # sample_along_rays returns without jitter
+    weight: Optional[jnp.ndarray] = None  # [Ht, Wt, C] float32 — estimated
+                         # compositing contribution w_c = alpha_c * T_c from
+                         # the grid's density; present iff the OccupancyGrid
+                         # carried sigma. Selection ranks bins by it instead
+                         # of by nearness (see _select_bins_weighted)
 
 
 def _strata(near: float, far: float, n_depth: int, lindisp: bool):
@@ -167,21 +176,45 @@ def build_froxels(
         + dirs[:, None, :, :, None, :] * zs[None, :, None, None, :, None]
     )
     bits = jnp.any(lookup(occ, pts), axis=(0, 1))  # [Ht, Wt, C]
+    score = (jnp.max(lookup_sigma(occ, pts), axis=(0, 1))
+             if occ.sigma is not None else None)  # [Ht, Wt, C]
 
     if dilate > 0 or dilate_z > 0:
         f = bits.astype(jnp.float32)
-        for _ in range(max(dilate, dilate_z)):
-            wy = 3 if dilate > 0 else 1
-            wz = 3 if dilate_z > 0 else 1
+        d, dz = dilate, dilate_z
+        for _ in range(max(d, dz)):
+            wy = 3 if d > 0 else 1
+            wz = 3 if dz > 0 else 1
             f = jax.lax.reduce_window(
                 f, -jnp.inf, jax.lax.max,
                 window_dimensions=(wy, wy, wz), window_strides=(1, 1, 1),
                 padding="SAME",
             )
-            dilate -= 1
-            dilate_z -= 1
+            if score is not None:
+                # the score dilates in lockstep so dilation-marked froxels
+                # inherit a neighbor's density instead of ranking last
+                score = jax.lax.reduce_window(
+                    score, -jnp.inf, jax.lax.max,
+                    window_dimensions=(wy, wy, wz), window_strides=(1, 1, 1),
+                    padding="SAME",
+                )
+            d -= 1
+            dz -= 1
         bits = f > 0.5
-    return FroxelGrid(bits, lower, upper, z0)
+
+    weight = None
+    if score is not None:
+        # estimated compositing contribution per bin along the tile ray:
+        # alpha_c = 1 - exp(-sigma_c * bin_width), T_c = prod_{j<c}(1-alpha)
+        # (widths in ray-parameter t; the per-ray |d| factor is a common
+        # scale within a tile and only ranking matters)
+        widths = (upper - lower)[None, None, :]
+        alpha = 1.0 - jnp.exp(-score * widths)
+        trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+        trans = jnp.concatenate(
+            [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+        weight = jnp.where(bits, alpha * trans, 0.0)
+    return FroxelGrid(bits, lower, upper, z0, weight)
 
 
 def _select_bins(bits: jnp.ndarray, n_keep: int):
@@ -197,6 +230,37 @@ def _select_bins(bits: jnp.ndarray, n_keep: int):
     sel = jnp.sort(keys, axis=-1)[:, :n_keep]
     valid = sel < C
     return jnp.minimum(sel, C - 1), valid
+
+
+def _select_bins_weighted(bits: jnp.ndarray, weight: jnp.ndarray,
+                          n_keep: int):
+    """Per tile, the K occupied depth bins with the LARGEST estimated
+    compositing contribution, returned in ascending depth order.
+
+    Fixes the nearest-K failure mode on cluttered scenes: a thin near
+    structure (plus conservative marking around it) exhausts a small K
+    before the true surface bin, and the surface renders as background
+    (measured: froxel C=64/K=16 drops from 37.5 dB on a smooth scene to
+    21.7 dB on the thin-rod hard scene). Ranking by w = alpha*T spends the
+    budget where the color mass is; zero-weight marked bins degrade to
+    nearest-first via the packed index tiebreak.
+
+    Gather-free: (quantized 1-w) << 10 | bin_index packs rank and identity
+    into one int32 key, one ascending lane sort selects, a second K-lane
+    sort restores depth order. bits/weight [T, C] -> (idx [T, K] int32,
+    valid [T, K] bool)."""
+    C = bits.shape[-1]
+    assert C <= 1024, "bin index must fit 10 bits"
+    big = jnp.int32(1 << 30)
+    iota = jax.lax.iota(jnp.int32, C)
+    rank = (jnp.clip(1.0 - weight, 0.0, 1.0)
+            * float((1 << 20) - 1)).astype(jnp.int32) << 10
+    keys = jnp.where(bits, rank | iota, big)
+    sel = jnp.sort(keys, axis=-1)[:, :n_keep]
+    idx = jnp.where(sel < big, sel & 1023, jnp.int32(2 * C))
+    idx = jnp.sort(idx, axis=-1)          # restore ascending depth
+    valid = idx < C
+    return jnp.minimum(idx, C - 1), valid
 
 
 def _broadcast_tiles(x: jnp.ndarray, H: int, W: int, tile: int):
@@ -232,9 +296,15 @@ def _ray_inputs(rcfg: RenderConfig, H: int, W: int, K, c2w, ndc_hw=None):
 def _selection_maps(fro: FroxelGrid, rcfg: RenderConfig, H: int, W: int,
                     tile: int, n_keep: int):
     """Tile-level top-K bin selection broadcast to flat per-ray maps:
-    (z_lo [HW, K], z_hi [HW, K], valid [HW, K])."""
+    (z_lo [HW, K], z_hi [HW, K], valid [HW, K]). Contribution-weighted
+    when the FroxelGrid carries weights (grid built from an OccupancyGrid
+    with sigma), nearest-K otherwise."""
     Ht, Wt, C = fro.bits.shape
-    idx, valid = _select_bins(fro.bits.reshape(-1, C), n_keep)
+    if fro.weight is not None:
+        idx, valid = _select_bins_weighted(
+            fro.bits.reshape(-1, C), fro.weight.reshape(-1, C), n_keep)
+    else:
+        idx, valid = _select_bins(fro.bits.reshape(-1, C), n_keep)
     if rcfg.perturb > 0.0:
         z_lo = jnp.take(fro.lower, idx, axis=0)  # [T, K] — tiny-table gather
         z_hi = jnp.take(fro.upper, idx, axis=0)

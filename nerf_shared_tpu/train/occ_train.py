@@ -198,7 +198,12 @@ def binarize_density_grid(
         return OccupancyGrid(full, grid.aabb_min, grid.aabb_max)
     occ = grid.ema * step > -np.log1p(-min(alpha_threshold, 0.999))
     grid_f = _dilate(occ.astype(jnp.float32), dilation)
-    return OccupancyGrid(grid_f > 0.5, grid.aabb_min, grid.aabb_max)
+    # carry the (max-dilated) EMA density so consumers can rank candidates
+    # by contribution (froxel weighted bin selection in the eval hooks).
+    # Unprobed cells hold the _UNINIT sentinel -> huge sigma -> ranked
+    # first, matching their binarize-occupied conservatism.
+    sigma = _dilate(jax.nn.relu(grid.ema), dilation)
+    return OccupancyGrid(grid_f > 0.5, grid.aabb_min, grid.aabb_max, sigma)
 
 
 def _random_k_of_occupied(key, z_cand, occ_c, n_keep: int, far,

@@ -281,3 +281,103 @@ def test_aabb_from_poses_contains_frustum():
     mids = np.asarray(ro) + np.asarray(rd) * 4.0  # interior frustum points
     assert (mids >= lo).all() and (mids <= hi).all()
     assert (np.asarray(ro)[0, 0] >= lo).all()
+
+
+def test_lookup_sigma_matches_cells_and_outside_zero():
+    """lookup_sigma returns the containing cell's stored density, 0 outside
+    the AABB, and 0 when the grid carries no sigma."""
+    rng = np.random.default_rng(5)
+    sig = rng.random((4, 4, 4)).astype(np.float32)
+    occ = O.OccupancyGrid(jnp.asarray(sig > 0.5), jnp.zeros(3),
+                          jnp.ones(3) * 4.0, jnp.asarray(sig))
+    pts = jnp.asarray([[0.5, 1.5, 2.5], [3.5, 0.5, 3.5], [-1.0, 0, 0],
+                       [5.0, 1.0, 1.0]])
+    got = np.asarray(O.lookup_sigma(occ, pts))
+    assert got[0] == sig[0, 1, 2]
+    assert got[1] == sig[3, 0, 3]
+    assert got[2] == 0.0 and got[3] == 0.0
+    plain = O.OccupancyGrid(occ.grid, occ.aabb_min, occ.aabb_max)
+    assert (np.asarray(O.lookup_sigma(plain, pts)) == 0.0).all()
+
+
+def test_build_grid_carries_dilated_sigma():
+    """build_occupancy_grid stores the relu'd density max-dilated in
+    lockstep with the bits: cells marked only by dilation inherit a
+    neighbor's density (so weighted froxel ranking doesn't zero them)."""
+    cfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,),
+                     use_viewdirs=True)
+    model = NeRF.create(jax.random.PRNGKey(0), cfg)
+    rcfg = RenderConfig(near=2.0, far=6.0, use_viewdirs=True)
+    occ = O.build_occupancy_grid(
+        model.params, cfg, rcfg, jnp.array([-1.0, -1, -1]),
+        jnp.array([1.0, 1, 1]), resolution=8, n_jitter=1,
+        alpha_threshold=1e-3, dilation=1)
+    assert occ.sigma is not None and occ.sigma.shape == (8, 8, 8)
+    sig = np.asarray(occ.sigma)
+    assert (sig >= 0.0).all()
+    # dilation is a 3^3 max-pool: every cell's sigma >= any neighbor's would
+    # fail, but each cell must be >= 0 and the global max must be preserved
+    assert np.isfinite(sig).all()
+
+
+def test_weighted_topk_rescues_decoy():
+    """Contribution-weighted candidate selection keeps a high-density
+    surface candidate that nearest-K misses behind near clutter — the
+    hard-scene failure mode (occ C=64/K=16: 22.6 dB, fidelity_hard.jsonl).
+    Unit-level: decoy cells with tiny sigma fill the near candidates, one
+    far cell holds all the mass."""
+    C, K = 16, 4
+    z = jnp.broadcast_to(jnp.linspace(2.0, 6.0, C), (1, C))
+    occ_c = jnp.asarray(
+        np.array([[1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0]],
+                 bool))
+    sig = jnp.where(jnp.arange(C) == 12, 80.0, 0.01)[None, :]
+    z_w, v_w = O._topk_weighted_occupied(z, sig, occ_c, K, 6.0)
+    z_n, v_n = O._topk_nearest_occupied(z, occ_c, K, 6.0, "sort")
+    zs = np.asarray(z[0])
+    assert zs[12] not in np.asarray(z_n)[0]
+    assert zs[12] in np.asarray(z_w)[0]
+    assert np.asarray(v_w).all()
+    sel = np.asarray(z_w)[0]
+    assert (np.diff(sel) > 0).all()          # depth order restored
+    np.testing.assert_allclose(sel[:3], zs[:3])  # zero-ish ties nearest-first
+
+
+def test_weighted_render_matches_sort_when_k_covers():
+    """K >= occupied-candidate count: weighted selection keeps the same set
+    as nearest, so the renders must agree (it is a reordering, not an
+    approximation, when K covers)."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(32, seed=4)
+    grid = np.zeros((9, 9, 9), bool)
+    grid[3:6, 3:6, 3:6] = True
+    sig = np.zeros((9, 9, 9), np.float32)
+    sig[3:6, 3:6, 3:6] = np.random.default_rng(5).random((3, 3, 3)) * 10
+    occ = O.OccupancyGrid(jnp.asarray(grid),
+                          jnp.array([-9.0, -9, -9]), jnp.array([9.0, 9, 9]),
+                          jnp.asarray(sig))
+    a = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                               n_candidates=24, n_keep=24, select="sort")
+    b = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                               n_candidates=24, n_keep=24, select="weighted")
+    np.testing.assert_array_equal(np.asarray(a["n_active"]),
+                                  np.asarray(b["n_active"]))
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]), np.asarray(b[k]), rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_weighted_select_requires_sigma():
+    """A bits-only grid must fail loudly, not silently fall back."""
+    import pytest
+
+    model, ccfg = _model()
+    occ = O.OccupancyGrid(jnp.full((4, 4, 4), True),
+                          jnp.array([-9.0, -9, -9]), jnp.array([9.0, 9, 9]))
+    with pytest.raises(ValueError, match="weighted"):
+        O.render_flat_rays_occ(_rays(8), model, occ, _rcfg(), ccfg,
+                               chunk=8, n_candidates=8, n_keep=4,
+                               select="weighted")
