@@ -380,6 +380,7 @@ def train(args):
                 occ_keep=args.occ_keep,
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
+                occ_select=getattr(args, "occ_select", "sort"),
                 render_fn=(sharded_hook(state, last)
                            if sharded_hook else None),
             )
@@ -403,6 +404,7 @@ def train(args):
                     chunk=args.chunk,
                     n_candidates=args.occ_candidates, n_keep=args.occ_keep,
                     mode=args.occ_mode, tile=args.occ_tile,
+                    select=getattr(args, "occ_select", "sort"),
                 )
             else:
                 rgb, _, _, _ = renderer.render_from_pose(
@@ -439,6 +441,7 @@ def train(args):
                 occ_keep=args.occ_keep,
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
+                occ_select=getattr(args, "occ_select", "sort"),
                 render_fn=(sharded_hook(state, last)
                            if sharded_hook else None),
             )

@@ -247,6 +247,17 @@ def config_parser() -> ConfigArgumentParser:
                              'per-frame camera-frustum resampling (gather-'
                              'free per-ray path, fastest); grid = per-'
                              'candidate world-grid lookups')
+    parser.add_argument("--occ_select", type=str, default='sort',
+                        choices=['sort', 'onehot', 'weighted'],
+                        help="grid-mode candidate selection: 'sort'/'onehot'"
+                             ' keep the K nearest occupied candidates (two '
+                             'equivalent TPU formulations); '
+                             "'weighted' ranks by estimated compositing "
+                             'contribution alpha*T from the grid density — '
+                             'better small-K fidelity behind thin near '
+                             "clutter. Applies to --occ_mode grid; the "
+                             'froxel path weights automatically when the '
+                             'grid carries density')
     parser.add_argument("--occ_tile", type=int, default=8,
                         help='froxel pixel-tile size: rays in a tile share '
                              'one frustum-voxel column and one top-K bin '

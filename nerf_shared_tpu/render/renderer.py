@@ -571,7 +571,9 @@ class Renderer:
                 raise ValueError(
                     "select/gate_rays only apply to mode='grid'; "
                     "mode='froxel' (the default) ignores them — pass "
-                    "mode='grid' to keep the gated world-grid semantics"
+                    "mode='grid' to keep the gated world-grid semantics. "
+                    "(froxel bin selection is contribution-weighted "
+                    "automatically when the grid carries density)"
                 )
             from nerf_shared_tpu.render.froxels import render_image_froxels
 
@@ -614,6 +616,7 @@ class Renderer:
         occ_keep: int = 64,
         occ_mode: str = "froxel",
         occ_tile: int = 8,
+        occ_select: str = "sort",
         render_fn=None,
     ):
         """Render poses to PNGs (+ optional mp4 / TensorBoard), reference
@@ -645,7 +648,7 @@ class Renderer:
                     fine_model if fine_model is not None else coarse_model,
                     occ_grid, chunk=chunk, key=key,
                     n_candidates=occ_candidates, n_keep=occ_keep,
-                    mode=occ_mode, tile=occ_tile,
+                    mode=occ_mode, tile=occ_tile, select=occ_select,
                 )
             elif gate_threshold > 0.0:
                 rgb, _ = eval_renderer.render_image_gated(

@@ -98,3 +98,15 @@ def test_all_24_configs_parse():
     for path in paths:
         args = config_parser().parse_args(["--config", path])
         assert args.expname
+
+
+def test_occ_select_flag_parses_and_rejects_unknown():
+    from nerf_shared_tpu.config import config_parser
+    import pytest
+
+    args = config_parser().parse_args(
+        ["--expname", "x", "--datadir", "d", "--occ_select", "weighted"])
+    assert args.occ_select == "weighted"
+    with pytest.raises(SystemExit):
+        config_parser().parse_args(
+            ["--expname", "x", "--datadir", "d", "--occ_select", "bogus"])
