@@ -137,3 +137,50 @@ def test_sharded_pose_render_matches_single_chip():
         np.testing.assert_allclose(np.asarray(sharded["acc_map"]),
                                    np.asarray(acc), rtol=1e-4, atol=1e-5,
                                    err_msg=f"ndc={ndc}")
+
+
+def test_sharded_occ_render_weighted_matches_single_device():
+    """select='weighted' (contribution-ranked candidates from a
+    sigma-carrying grid) shards identically to the nearest-K path: the
+    selection is per-ray static-shape math, so mesh vs single-device must
+    agree exactly at perturb=0."""
+    from nerf_shared_tpu.parallel.render import make_sharded_render_occ
+    from nerf_shared_tpu.render.occupancy import (
+        OccupancyGrid,
+        render_flat_rays_occ,
+    )
+
+    mesh = make_mesh()
+    ccfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    model = NeRF.create(jax.random.PRNGKey(0), ccfg)
+    rcfg = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                        perturb=0.0, white_bkgd=True)
+
+    rng = np.random.default_rng(9)
+    n = 77
+    rays_o = rng.standard_normal((n, 3)).astype(np.float32) * 0.5
+    rays_d = rng.standard_normal((n, 3)).astype(np.float32)
+    rays_d /= np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    rb = jnp.asarray(np.concatenate(
+        [rays_o, rays_d, np.full((n, 1), 2, np.float32),
+         np.full((n, 1), 6, np.float32), rays_d], -1))
+
+    grid = np.zeros((8, 8, 8), bool)
+    grid[2:6, 2:6, 2:6] = True
+    sig = (rng.random((8, 8, 8)) * 5).astype(np.float32) * grid
+    occ = OccupancyGrid(jnp.asarray(grid),
+                        jnp.array([-8.0, -8, -8]), jnp.array([8.0, 8, 8]),
+                        jnp.asarray(sig))
+
+    key = jax.random.PRNGKey(0)
+    single = render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=32,
+                                  n_candidates=16, n_keep=4,
+                                  select="weighted")
+    render_fn = make_sharded_render_occ(mesh, rcfg, ccfg, block=16,
+                                        n_candidates=16, n_keep=4,
+                                        select="weighted")
+    sharded = render_fn(model.params, occ, rb, key)
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(single[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k)
