@@ -317,6 +317,34 @@ def test_e2e_occ_grid_render_and_video(tmp_path):
     assert np.isfinite(img).all()
 
 
+def test_e2e_occ_select_weighted_render_only(tmp_path):
+    """--occ_mode grid --occ_select weighted renders finite PNGs through
+    the contribution-weighted candidate path from a trained checkpoint
+    (the grid carries its source density via build_occupancy_grid)."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=8,
+        occ_grid=8, occ_candidates=16, occ_keep=4, chunk=256,
+    )
+    run(config_parser().parse_args(["--config", cfg_path]))
+    args = config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256", "--occ_mode", "grid",
+         "--occ_select", "weighted"]
+    )
+    outdir = render_only(args)
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert len(pngs) == 2
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
+
+
 def test_e2e_in_training_occ_maintenance(tmp_path):
     """With --occ_grid on, the i_img AND i_testset hooks render through a
     grid maintained from the CURRENT training density (OccupancyMaintainer),
