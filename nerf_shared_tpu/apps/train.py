@@ -236,6 +236,20 @@ def train(args):
             rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
             acc_reg=getattr(args, "acc_loss_weight", 0.0),
         )
+    # two-phase schedule (--train_occ_until): occupancy-gated speed for the
+    # bulk of the run, the full hierarchical trainer for the quality tail;
+    # at the switch the coarse branch is seeded from the trained fine net
+    # (train/state.py sync_coarse_from_fine)
+    occ_until = int(getattr(args, "train_occ_until", 0)) if train_occ else 0
+    _phase = {"switched": False}
+    hier_step_fn = None
+    if occ_until > 0:
+        hier_step_fn = make_fused_train_step(
+            rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
+            acc_reg=getattr(args, "acc_loss_weight", 0.0),
+        )
+        print(f"two-phase schedule: occ-gated until step {occ_until}, "
+              f"hierarchical after")
     if mesh is not None:
         state = replicate(mesh, state)
         images_tr = replicate(mesh, images_tr)
@@ -259,11 +273,13 @@ def train(args):
     def _occ_for(state, step):
         if occ_maint is not None:
             return occ_maint.get(state.params["fine"], step)
-        if train_occ:
+        if train_occ and not _phase["switched"]:
             # --train_occ leaves the coarse net untrained (the grid replaces
             # the hierarchy), so the dense hierarchical hook path would
             # importance-sample from garbage; render hooks fall back to the
-            # TRAINING grid instead (all-occupied during warmup)
+            # TRAINING grid instead (all-occupied during warmup). After the
+            # --train_occ_until phase switch the coarse net is trained and
+            # hooks go back to the dense hierarchical path (grid is stale)
             from nerf_shared_tpu.train.occ_train import binarize_density_grid
 
             return binarize_density_grid(
@@ -293,11 +309,30 @@ def train(args):
             mesh, eval_rcfg, fcfg, H, W, tile=args.occ_tile,
             n_keep=args.occ_keep,
         )
+        _dense_sh2 = None
+        if occ_until > 0:
+            # post-switch hooks have no occ source; keep them sharded
+            from nerf_shared_tpu.parallel.render import (
+                make_sharded_pose_render,
+            )
+
+            _dense_sh2 = make_sharded_pose_render(
+                mesh, renderer.cfg, ccfg, fcfg, H, W,
+            )
 
         def sharded_hook(state, step):
             occ_g = _occ_for(state, step)
             if occ_g is None:
-                return None
+                if _dense_sh2 is None:
+                    return None
+
+                def render_dense(c2w, k):
+                    return _dense_sh2(
+                        state.params["coarse"], state.params.get("fine"),
+                        ds.K, c2w, k,
+                    )["rgb_map"]
+
+                return render_dense
 
             def render_one(c2w, k):
                 fro = build_froxels(
@@ -337,9 +372,28 @@ def train(args):
           f"{inner} steps/dispatch")
 
     i = start + 1
+    if occ_until > 0 and i > occ_until:
+        # resumed past the switch point: the checkpoint already carries the
+        # post-switch coarse net — enter the hierarchical phase directly
+        step_fn = hier_step_fn
+        _phase["switched"] = True
+        print(f"[PHASE] resume at step {i} > {occ_until}: "
+              "hierarchical phase")
     t0 = time.perf_counter()
     rays_done = 0
     while i < N_iters:
+        if occ_until > 0 and not _phase["switched"] and i > occ_until:
+            from nerf_shared_tpu.train.state import sync_coarse_from_fine
+
+            if ccfg == fcfg:
+                state = sync_coarse_from_fine(state)
+                seed_msg = "coarse seeded from fine (+Adam moments)"
+            else:
+                seed_msg = ("coarse/fine architectures differ — coarse "
+                            "trains from init")
+            step_fn = hier_step_fn
+            _phase["switched"] = True
+            print(f"[PHASE] step {i - 1}: occ -> hierarchical; {seed_msg}")
         state, aux = step_fn(state, images_tr, poses_tr,
                              jax.random.fold_in(key, i))
         i += inner

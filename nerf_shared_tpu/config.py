@@ -271,6 +271,16 @@ def config_parser() -> ConfigArgumentParser:
                              'grid over the NDC cube.')
     parser.add_argument("--train_occ_res", type=int, default=64,
                         help='resolution of the training density grid')
+    parser.add_argument("--train_occ_until", type=int, default=0,
+                        help='two-phase schedule: occupancy-gated training '
+                             'until this step, then switch to the full '
+                             'hierarchical trainer for the remainder '
+                             '(coarse net and its Adam moments are seeded '
+                             'from the trained fine net at the switch). '
+                             'Buys most of the occ speedup while the final '
+                             'steps recover hierarchical quality. Rounds '
+                             'up to the superstep cadence (gcd of the i_* '
+                             'intervals). 0 = occ for the whole run')
     parser.add_argument("--train_occ_candidates", type=int, default=64,
                         help='stratified candidates per ray triaged through '
                              'the training grid')

@@ -72,3 +72,34 @@ def create_train_state(
         opt_state=tx.init(params),
         tx=tx,
     )
+
+
+def sync_coarse_from_fine(state: TrainState) -> TrainState:
+    """Copy the fine branch's params AND Adam moments onto the coarse
+    branch — the phase switch of the two-phase schedule (--train_occ_until):
+    occupancy-gated training only updates the fine network, so when the
+    hierarchical phase takes over, its importance sampling needs a coarse
+    net that already describes the scene. Coarse and fine architectures
+    must match (the reference default; utils.py:119-139 builds them
+    identically unless netdepth_fine/netwidth_fine diverge).
+
+    Pure pytree surgery: every {'coarse','fine'} dict in the state (params
+    plus each Adam moment tree) gets coarse <- fine. Works on replicated
+    multi-chip states unchanged (shardings ride along)."""
+
+    def is_branch(x):
+        return isinstance(x, dict) and "coarse" in x and "fine" in x
+
+    def fix(x):
+        if is_branch(x):
+            out = dict(x)
+            # materialize distinct buffers — aliasing coarse to fine's
+            # arrays breaks donated train steps ("donate same buffer twice")
+            out["coarse"] = jax.tree.map(
+                lambda a: jax.numpy.copy(a), x["fine"])
+            return out
+        return x
+
+    new_params = fix(state.params)
+    new_opt = jax.tree.map(fix, state.opt_state, is_leaf=is_branch)
+    return state.replace(params=new_params, opt_state=new_opt)

@@ -375,6 +375,39 @@ def test_e2e_in_training_occ_maintenance(tmp_path):
         assert np.isfinite(img).all()
 
 
+def test_e2e_two_phase_schedule(tmp_path, capsys):
+    """--train_occ_until: occ-gated phase, then the hierarchical trainer
+    with the coarse branch seeded from the trained fine net. The switch
+    must announce itself, training must continue to N_iters with finite
+    metrics, and a resume past the switch point must enter the
+    hierarchical phase directly."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
+        train_occ=True, train_occ_until=8, train_occ_res=8,
+        train_occ_candidates=12, train_occ_keep=6, precrop_iters=0,
+        chunk=256,
+    )
+    run(config_parser().parse_args(["--config", cfg_path]))
+    out = capsys.readouterr().out
+    assert "occ -> hierarchical" in out
+    assert "coarse seeded from fine" in out
+    assert glob.glob(os.path.join(logdir, "tiny_e2e", "000016*"))
+
+    # the saved checkpoint's coarse == fine is no longer guaranteed (both
+    # trained after the switch), but it must load and resume hierarchically
+    run(config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "24", "--i_weights", "24"]
+    ))
+    out = capsys.readouterr().out
+    assert "[PHASE] resume" in out
+    assert glob.glob(os.path.join(logdir, "tiny_e2e", "000024*"))
+
+
 def test_e2e_train_occ(tmp_path):
     """--train_occ drives the full CLI: occupancy-gated fine-only training
     (grid refreshed each dispatch), checkpoints written, PSNR finite, and

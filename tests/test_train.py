@@ -302,3 +302,32 @@ def test_acc_regularizer_drives_transparency():
         results[acc_reg] = float(jnp.mean(ret["acc_map"]))
     # regularized training must leave the white background more transparent
     assert results[0.05] < results[0.0] - 0.2, results
+
+
+def test_sync_coarse_from_fine_copies_params_and_moments():
+    """The --train_occ_until phase switch: coarse params AND Adam moments
+    become copies (not aliases) of fine's; fine is untouched."""
+    import numpy as np
+
+    from nerf_shared_tpu.models.nerf import NeRFConfig
+    from nerf_shared_tpu.train.state import (
+        create_train_state,
+        sync_coarse_from_fine,
+    )
+
+    cfg = NeRFConfig(D=2, W=16, multires=2, multires_views=2, skips=(0,))
+    st = create_train_state(jax.random.PRNGKey(0), cfg, cfg)
+    st = st.apply_gradients(jax.tree.map(jnp.ones_like, st.params))
+    st2 = sync_coarse_from_fine(st)
+
+    for a, b in zip(jax.tree.leaves(st2.params["coarse"]),
+                    jax.tree.leaves(st2.params["fine"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a is not b  # distinct buffers (donation safety)
+    mu = st2.opt_state[0].mu
+    for a, b in zip(jax.tree.leaves(mu["coarse"]),
+                    jax.tree.leaves(mu["fine"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(st.params["fine"]),
+                    jax.tree.leaves(st2.params["fine"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
