@@ -77,6 +77,10 @@ def main():
                          "scene (measured: without it the hierarchical "
                          "trainer collapses to all-transparent)")
     ap.add_argument("--precrop_frac", type=float, default=0.5)
+    ap.add_argument("--occ_until", type=int, default=0,
+                    help="two-phase schedule: occ-gated until this step, "
+                         "then the hierarchical step with the coarse net "
+                         "seeded from fine (mirrors --train_occ_until)")
     ap.add_argument("--budget", action="store_true",
                     help="candidate budgeting: weight the occ trainer's "
                          "random-K selection by the EMA density")
@@ -166,23 +170,46 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
                                lrate_decay=250)
     dg = init_density_grid(lo, hi, a.grid_res)
+    impl = ("occ_hybrid" if a.occ_until > 0
+            else "occ_budget" if a.budget else "occ_gated")
+    hstep = None
     t0 = time.perf_counter()
     for i in range(0, a.steps, inner):
-        warm = i < a.warmup
-        occ = binarize_density_grid(dg, force_occupied=warm)
-        density = dg if (a.budget and not warm) else None
-        state, aux = (ostep_warm if warm else ostep)(
-            state, occ, imgs_d, poses_d,
-            jax.random.fold_in(jax.random.PRNGKey(1), i), density=density)
-        dg = update_density_grid(dg, state.params["fine"], cfg, rcfg_o,
-                                 jax.random.fold_in(jax.random.PRNGKey(2), i))
+        if a.occ_until > 0 and i >= a.occ_until:
+            # phase 2: hierarchical tail (coarse seeded from fine once);
+            # compile time for the hierarchical step counts into the clock,
+            # exactly as a real run would pay it
+            if hstep is None:
+                from nerf_shared_tpu.train.state import (
+                    sync_coarse_from_fine,
+                )
+
+                state = sync_coarse_from_fine(state)
+                hstep = make_fused_train_step(rcfg, cfg, cfg, spec,
+                                              inner_steps=inner,
+                                              donate=False)
+            state, aux = hstep(state, imgs_d, poses_d,
+                               jax.random.fold_in(jax.random.PRNGKey(1), i))
+            occupied = None
+        else:
+            warm = i < a.warmup
+            occ = binarize_density_grid(dg, force_occupied=warm)
+            density = dg if (a.budget and not warm) else None
+            state, aux = (ostep_warm if warm else ostep)(
+                state, occ, imgs_d, poses_d,
+                jax.random.fold_in(jax.random.PRNGKey(1), i),
+                density=density)
+            dg = update_density_grid(
+                dg, state.params["fine"], cfg, rcfg_o,
+                jax.random.fold_in(jax.random.PRNGKey(2), i))
+            occupied = round(float(jnp.mean(occ.grid.astype(jnp.float32))),
+                             4)
         float(aux["loss"])  # fence (includes maintenance in the clock)
         wall = time.perf_counter() - t0
-        rec = {"impl": "occ_budget" if a.budget else "occ_gated", "step": i + inner,
-               "wall_s": round(wall, 2),
-               "occupied": round(float(jnp.mean(occ.grid.astype(
-                   jnp.float32))), 4),
+        rec = {"impl": impl, "step": i + inner, "wall_s": round(wall, 2),
                "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
+        if occupied is not None:
+            rec["occupied"] = occupied
         log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
     results["occ_gated"] = rec
     log.close()
