@@ -117,6 +117,23 @@ def train(args):
     copy_log_dir(args)
     tb_writer = make_tb_writer(args)
 
+    if (getattr(args, "model_type", "nerf") == "triplane"
+            and not getattr(args, "triplane_aabb", 0.0)):
+        # auto scene bounds for the feature planes: NDC scenes live in the
+        # [-1,1] cube; otherwise bound the camera frustums
+        if args.dataset_type == "llff" and not args.no_ndc:
+            args.triplane_aabb = 1.5
+        else:
+            from nerf_shared_tpu.render.occupancy import aabb_from_poses
+
+            lo, hi = aabb_from_poses(
+                H, W, ds.K, ds.poses[ds.i_train],
+                float(ds.bds_dict["near"]), float(ds.bds_dict["far"]),
+            )
+            args.triplane_aabb = float(
+                max(np.abs(lo).max(), np.abs(hi).max()))
+        print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
+
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
     state, start = ckpt_utils.load_checkpoint(state, args)
@@ -155,7 +172,8 @@ def train(args):
 
     fused_bwd = bool(getattr(args, "fused_backward", False)) and (
         jax.default_backend() == "tpu"
-    )
+    ) and getattr(args, "model_type", "nerf") == "nerf"  # Pallas kernels
+    # are MLP-family only; grid families train through XLA autodiff
     rcfg = _dc.replace(
         renderer.cfg, use_pallas=False, fused_backward=fused_bwd
     )

@@ -199,6 +199,32 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--precision", type=str, default='fp32',
                         choices=['fp32', 'bf16'],
                         help='compute precision for the MLP matmuls')
+    parser.add_argument("--model_type", type=str, default='nerf',
+                        choices=['nerf', 'triplane'],
+                        help="model family: 'nerf' = the reference 8x256 "
+                             "MLP + positional encoding; 'triplane' = "
+                             'grid-based radiance field (three bilinear '
+                             'feature planes + tiny decoder, '
+                             'models/triplane.py) — 10-50x fewer steps to '
+                             'quality; trains via XLA (the Pallas MLP '
+                             'kernels are nerf-family only)')
+    parser.add_argument("--triplane_res", type=int, default=256,
+                        help='triplane: feature-plane resolution G')
+    parser.add_argument("--triplane_feat", type=int, default=16,
+                        help='triplane: feature channels per plane (summed '
+                             'across the three planes)')
+    parser.add_argument("--triplane_hidden", type=int, default=64,
+                        help='triplane: rgb decoder width')
+    parser.add_argument("--triplane_depth", type=int, default=2,
+                        help='triplane: rgb decoder layers')
+    parser.add_argument("--triplane_aabb", type=float, default=0.0,
+                        help='triplane: scene half-extent (cube). 0 = auto '
+                             'from the camera frustums at load time')
+    parser.add_argument("--grid_lrate", type=float, default=2e-2,
+                        help='learning rate for grid parameters (the '
+                             'feature planes); the decoder uses --lrate. '
+                             'Grids want ~40x the MLP rate (TensoRF/DVGO '
+                             'practice)')
     parser.add_argument("--use_pallas", type=_str2bool, default=True,
                         help='use fused Pallas TPU kernels on the hot path '
                              '(falls back to pure-jnp twins when unavailable)')

@@ -20,6 +20,24 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
     """Coarse + (optional) fine model configs from flags
     (reference utils.py:119-139; output_ch=5 quirk kept for parity — it only
     matters when use_viewdirs=False, reference nerf.py:94)."""
+    if getattr(args, "model_type", "nerf") == "triplane":
+        from nerf_shared_tpu.models.triplane import TriplaneConfig
+
+        half = float(getattr(args, "triplane_aabb", 0.0)) or 4.5
+        tcfg = TriplaneConfig(
+            G=args.triplane_res,
+            C=args.triplane_feat,
+            hidden=args.triplane_hidden,
+            depth=args.triplane_depth,
+            use_viewdirs=args.use_viewdirs,
+            multires_views=args.multires_views,
+            i_embed=args.i_embed,
+            aabb_min=(-half,) * 3,
+            aabb_max=(half,) * 3,
+        )
+        # same config for both branches: the hierarchy (when N_importance
+        # > 0) importance-samples from an identical coarse triplane
+        return tcfg, (tcfg if args.N_importance > 0 else None)
     output_ch = 5 if args.N_importance > 0 else 4
     ccfg = NeRFConfig(
         D=args.netdepth,
@@ -95,6 +113,11 @@ def get_train_state(args, key=None) -> TrainState:
     (reference utils.py:163-172 + main.py:107-112 LR decay)."""
     key = key if key is not None else jax.random.PRNGKey(args.jax_seed)
     ccfg, fcfg = nerf_configs(args)
+    grid_lr = (
+        float(getattr(args, "grid_lrate", 2e-2))
+        if getattr(args, "model_type", "nerf") == "triplane" else None
+    )
     return create_train_state(
-        key, ccfg, fcfg, lrate=args.lrate, lrate_decay=args.lrate_decay
+        key, ccfg, fcfg, lrate=args.lrate, lrate_decay=args.lrate_decay,
+        grid_lrate=grid_lr,
     )

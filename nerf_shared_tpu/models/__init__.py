@@ -5,6 +5,12 @@ from nerf_shared_tpu.models.nerf import (
     apply_nerf,
     apply_mlp,
 )
+from nerf_shared_tpu.models.triplane import (
+    TriplaneConfig,
+    Triplane,
+    init_triplane_params,
+    apply_triplane,
+)
 
 __all__ = [
     "NeRFConfig",
@@ -12,4 +18,8 @@ __all__ = [
     "init_nerf_params",
     "apply_nerf",
     "apply_mlp",
+    "TriplaneConfig",
+    "Triplane",
+    "init_triplane_params",
+    "apply_triplane",
 ]

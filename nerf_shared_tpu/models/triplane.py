@@ -1,0 +1,173 @@
+"""Triplane NeRF: a grid-based model family for fast time-to-quality.
+
+The reference supports exactly one architecture — the 8x256 MLP with
+positional encoding (reference nerf.py:61-134). Grid-based radiance fields
+(DVGO, TensoRF, EG3D triplanes) converge 10-50x faster in steps because the
+scene is stored in explicit spatial features and the network only decodes;
+this module adds that family designed TPU-first:
+
+- **Three axis-aligned feature planes** [G, G, C] (xy / xz / yz). A sample's
+  feature is the SUM of its three bilinear plane samples. Summation (EG3D
+  style) keeps the decoder input at C channels, so the decode matmuls stay
+  tiny and MXU-dense.
+- **Bilinear sampling = row gathers.** TPUs have no hardware gather along
+  lanes, but row gathers from a [G*G, C] table lower to efficient
+  dynamic-slice loads — the same access pattern the occupancy lookup uses
+  (render/occupancy.py:lookup). 4 corners x 3 planes = 12 row gathers per
+  point; everything else is VPU lerp math and one tiny decode MLP.
+- **Decoder**: sigma = one linear over the C features (geometry lives in
+  the planes, not the net); rgb = [feat, PE(viewdirs)] -> ``depth`` layers
+  of width ``hidden``. Raw output convention matches apply_nerf — pre-relu
+  sigma, pre-sigmoid rgb — so the whole render/train/occupancy stack
+  (renderer raw2outputs, occ/froxel triage, occ trainer) works unchanged
+  through the _apply_model dispatch.
+- **Differentiable w.r.t. pts** (piecewise-bilinear), so pose estimation
+  through the renderer keeps working with this family too.
+
+The planes are a pytree leaf ("planes" [3, G, G, C]) — sharding/replication
+and checkpointing (.npz) ride the existing paths. The reference .tar schema
+has no counterpart for grid params; the checkpoint shim rejects tar export
+for this family with a clear error instead of writing junk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from nerf_shared_tpu.models.nerf import _linear_init
+from nerf_shared_tpu.ops.embedding import EmbedderConfig, embed
+
+
+@dataclasses.dataclass(frozen=True)
+class TriplaneConfig:
+    """Static (hashable) model config — safe as a jit static arg."""
+
+    G: int = 256                # plane resolution
+    C: int = 16                 # feature channels per plane (summed)
+    hidden: int = 64            # rgb decoder width
+    depth: int = 2              # rgb decoder layers (>= 1)
+    use_viewdirs: bool = True
+    multires_views: int = 4
+    i_embed: int = 0
+    aabb_min: tuple = (-4.5, -4.5, -4.5)
+    aabb_max: tuple = (4.5, 4.5, 4.5)
+    sigma_bias: float = 0.1     # mildly opaque start: avoids the
+                                # white-background transparency trap the
+                                # MLP family needs warmup noise to escape
+
+    @property
+    def views_embedder(self) -> EmbedderConfig:
+        return EmbedderConfig(multires=self.multires_views,
+                              i_embed=self.i_embed)
+
+    @property
+    def views_dim(self) -> int:
+        return self.views_embedder.out_dim if self.use_viewdirs else 0
+
+
+def init_triplane_params(key: jax.Array, cfg: TriplaneConfig,
+                         dtype=jnp.float32):
+    kp, ks, *kd = jax.random.split(key, 3 + cfg.depth)
+    planes = 0.05 * jax.random.normal(
+        kp, (3, cfg.G, cfg.G, cfg.C), dtype=dtype)
+    params = {
+        "planes": planes,
+        "sigma": _linear_init(ks, cfg.C, 1, dtype),
+    }
+    d_in = cfg.C + cfg.views_dim
+    layers = []
+    for li in range(cfg.depth):
+        d_out = 3 if li == cfg.depth - 1 else cfg.hidden
+        layers.append(_linear_init(kd[li], d_in, d_out, dtype))
+        d_in = cfg.hidden
+    params["rgb"] = layers
+    return params
+
+
+def _sample_plane(plane: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
+    """Bilinear sample of one [G, G, C] plane at continuous cell-center
+    coords (a, b) in [0, G-1]. Row gathers from the [G*G, C] view — the
+    TPU-friendly gather axis."""
+    G = plane.shape[0]
+    flat = plane.reshape(G * G, plane.shape[-1])
+    a = jnp.clip(a, 0.0, G - 1.0)
+    b = jnp.clip(b, 0.0, G - 1.0)
+    a0 = jnp.clip(jnp.floor(a).astype(jnp.int32), 0, G - 2)
+    b0 = jnp.clip(jnp.floor(b).astype(jnp.int32), 0, G - 2)
+    fa = (a - a0.astype(a.dtype))[..., None]
+    fb = (b - b0.astype(b.dtype))[..., None]
+    base = a0 * G + b0
+    p00 = jnp.take(flat, base, axis=0, mode="clip")
+    p01 = jnp.take(flat, base + 1, axis=0, mode="clip")
+    p10 = jnp.take(flat, base + G, axis=0, mode="clip")
+    p11 = jnp.take(flat, base + G + 1, axis=0, mode="clip")
+    top = p00 * (1 - fb) + p01 * fb
+    bot = p10 * (1 - fb) + p11 * fb
+    return top * (1 - fa) + bot * fa
+
+
+def triplane_features(params, cfg: TriplaneConfig, pts: jnp.ndarray):
+    """pts [..., 3] -> summed plane features [..., C] (edge-clamped
+    outside the AABB)."""
+    lo = jnp.asarray(cfg.aabb_min, pts.dtype)
+    hi = jnp.asarray(cfg.aabb_max, pts.dtype)
+    u = (pts - lo) / (hi - lo) * cfg.G - 0.5   # cell-center coords
+    x, y, z = u[..., 0], u[..., 1], u[..., 2]
+    f = _sample_plane(params["planes"][0], x, y)
+    f = f + _sample_plane(params["planes"][1], x, z)
+    f = f + _sample_plane(params["planes"][2], y, z)
+    return f
+
+
+def apply_triplane(
+    params,
+    cfg: TriplaneConfig,
+    pts: jnp.ndarray,                 # [..., S, 3]
+    viewdirs: Optional[jnp.ndarray],  # [..., 3] or None
+) -> jnp.ndarray:
+    """raw [..., S, 4] with the apply_nerf output convention: rgb logits
+    (sigmoid applied by the compositor) + pre-relu sigma."""
+    feat = triplane_features(params, cfg, pts)
+    sigma = feat @ params["sigma"]["w"] + params["sigma"]["b"] \
+        + cfg.sigma_bias
+    h = feat
+    if cfg.use_viewdirs and viewdirs is not None:
+        dirs = jnp.broadcast_to(viewdirs[..., None, :], pts.shape)
+        h = jnp.concatenate([h, embed(dirs, cfg.views_embedder)], axis=-1)
+    for li, lyr in enumerate(params["rgb"]):
+        h = h @ lyr["w"] + lyr["b"]
+        if li < len(params["rgb"]) - 1:
+            h = jax.nn.relu(h)
+    return jnp.concatenate([h, sigma], axis=-1)
+
+
+def get_density(params, cfg: TriplaneConfig,
+                points: jnp.ndarray) -> jnp.ndarray:
+    """Sigma-only probe (the occupancy builders' surface; mirrors
+    models/nerf.get_density)."""
+    feat = triplane_features(params, cfg, points)
+    return (feat @ params["sigma"]["w"] + params["sigma"]["b"]
+            + cfg.sigma_bias)[..., 0]
+
+
+class Triplane:
+    """OO wrapper matching the NeRF wrapper surface (models/nerf.py:NeRF)."""
+
+    def __init__(self, cfg: TriplaneConfig, params):
+        self.cfg = cfg
+        self.params = params
+
+    @classmethod
+    def create(cls, key: jax.Array, cfg: TriplaneConfig) -> "Triplane":
+        return cls(cfg, init_triplane_params(key, cfg))
+
+    def __call__(self, pts, viewdirs=None):
+        return apply_triplane(self.params, self.cfg, pts, viewdirs)
+
+    def get_density(self, points, chunk: int = 1024 * 64):
+        del chunk  # API parity; XLA needs no host-side chunking
+        return get_density(self.params, self.cfg, points)

@@ -40,7 +40,20 @@ from nerf_shared_tpu.ops.sampling import sample_along_rays, sample_pdf
 
 
 def _apply_model(params, mcfg, pts, viewdirs, rcfg):
-    """MLP evaluation honoring the render engine's precision/kernel policy."""
+    """Model evaluation honoring the render engine's precision/kernel
+    policy. Dispatches on the config type: every model family that decodes
+    (pts, viewdirs) -> raw [rgb logits, pre-relu sigma] plugs into the
+    whole render/train/occupancy stack through this one seam."""
+    if not isinstance(mcfg, NeRFConfig):
+        # grid families (models/triplane.py): XLA path — the Pallas MLP
+        # kernels and the .tar layout are specific to the MLP family
+        from nerf_shared_tpu.models.triplane import apply_triplane
+
+        if rcfg.remat:
+            fn = jax.checkpoint(
+                lambda p, x, d: apply_triplane(p, mcfg, x, d))
+            return fn(params, pts, viewdirs)
+        return apply_triplane(params, mcfg, pts, viewdirs)
     dtype = jnp.bfloat16 if rcfg.precision == "bf16" else jnp.float32
     if rcfg.fused_backward:
         from nerf_shared_tpu.ops.pallas.fused_mlp_bwd import fused_train_op
@@ -72,8 +85,8 @@ def _apply_model_rays(params, mcfg, rays_o, rays_d, z_vals, viewdirs, rcfg):
     (o, d, z) — the [N·S, 8] point tensor and its HBM layout copy (the
     dense-frame tail itemized in benchmarks/traces/summary.json) never
     materialize. Other engine policies fall back to pts + _apply_model."""
-    if (rcfg.use_pallas and not rcfg.fused_backward
-            and z_vals.shape[-1] % 8 == 0):
+    if (isinstance(mcfg, NeRFConfig) and rcfg.use_pallas
+            and not rcfg.fused_backward and z_vals.shape[-1] % 8 == 0):
         from nerf_shared_tpu.ops.pallas.fused_mlp import (
             fused_nerf_forward_rays,
         )

@@ -43,12 +43,45 @@ def lr_schedule(lrate: float, lrate_decay: int):
     )
 
 
-def make_optimizer(lrate: float, lrate_decay: int) -> optax.GradientTransformation:
+def make_optimizer(
+    lrate: float,
+    lrate_decay: int,
+    grid_lrate: Optional[float] = None,
+) -> optax.GradientTransformation:
     """Adam(betas=(0.9, 0.999), eps=1e-8) matching torch defaults
-    (reference utils.py:170)."""
-    return optax.adam(
-        learning_rate=lr_schedule(lrate, lrate_decay), b1=0.9, b2=0.999, eps=1e-8
+    (reference utils.py:170). With ``grid_lrate``, grid-family parameters
+    (leaves under a "planes" key, models/triplane.py) get their own Adam at
+    that rate — explicit spatial features want ~40x the decoder rate
+    (TensoRF/DVGO practice); both share the exponential decay schedule."""
+
+    def adam(lr):
+        return optax.adam(learning_rate=lr_schedule(lr, lrate_decay),
+                          b1=0.9, b2=0.999, eps=1e-8)
+
+    if grid_lrate is None:
+        return adam(lrate)
+
+    def labels(params):
+        def label(path, _):
+            keys = [getattr(p, "key", getattr(p, "name", None))
+                    for p in path]
+            return "grid" if "planes" in keys else "net"
+
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform(
+        {"grid": adam(grid_lrate), "net": adam(lrate)}, labels
     )
+
+
+def _init_params(key: jax.Array, cfg):
+    """Model-family dispatch: NeRFConfig -> MLP params, TriplaneConfig ->
+    plane grids + decoder (models/triplane.py)."""
+    if isinstance(cfg, NeRFConfig):
+        return init_nerf_params(key, cfg)
+    from nerf_shared_tpu.models.triplane import init_triplane_params
+
+    return init_triplane_params(key, cfg)
 
 
 def create_train_state(
@@ -58,12 +91,15 @@ def create_train_state(
     lrate: float = 5e-4,
     lrate_decay: int = 250,
     start_step: int = 0,
+    grid_lrate: Optional[float] = None,
 ) -> TrainState:
     kc, kf = jax.random.split(key)
-    params = {"coarse": init_nerf_params(kc, coarse_cfg)}
+    params = {"coarse": _init_params(kc, coarse_cfg)}
     if fine_cfg is not None:
-        params["fine"] = init_nerf_params(kf, fine_cfg)
-    tx = make_optimizer(lrate, lrate_decay)
+        params["fine"] = _init_params(kf, fine_cfg)
+    if grid_lrate is None and not isinstance(coarse_cfg, NeRFConfig):
+        grid_lrate = 2e-2
+    tx = make_optimizer(lrate, lrate_decay, grid_lrate=grid_lrate)
     import jax.numpy as jnp
 
     return TrainState(

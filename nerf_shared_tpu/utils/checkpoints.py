@@ -40,6 +40,10 @@ def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
     elif isinstance(tree, (list, tuple)):
         for i, v in enumerate(tree):
             out.update(_flatten(v, f"{prefix}{i}/"))
+    elif type(tree).__name__ == "MaskedNode":
+        # optax.multi_transform placeholder for out-of-group leaves (the
+        # per-group moments of the grid/net optimizer split) — not data
+        pass
     else:
         out[prefix[:-1]] = np.asarray(tree)
     return out
@@ -89,44 +93,104 @@ def load_native(path: str) -> Tuple[Dict, Dict, int]:
     return params, opt, step
 
 
-def adam_state_to_flat(opt_state) -> Dict[str, np.ndarray]:
-    """Serialize the optax adam chain state (count + mu/nu pytrees)."""
+def _adam_parts(opt_state):
     import optax
 
-    for part in jax.tree_util.tree_leaves(
-        opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
-    ):
-        if isinstance(part, optax.ScaleByAdamState):
-            flat = {"count": np.asarray(part.count)}
-            flat.update({f"mu/{k}": v for k, v in _flatten(part.mu).items()})
-            flat.update({f"nu/{k}": v for k, v in _flatten(part.nu).items()})
-            return flat
-    raise ValueError("no ScaleByAdamState found in optimizer state")
+    return [
+        p for p in jax.tree_util.tree_leaves(
+            opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+        )
+        if isinstance(p, optax.ScaleByAdamState)
+    ]
+
+
+def adam_state_to_flat(opt_state) -> Dict[str, np.ndarray]:
+    """Serialize the optax adam chain state (count + mu/nu pytrees).
+
+    One adam part (the reference's single Adam, utils.py:163-172) keeps the
+    original flat schema. Multiple parts (optax.multi_transform for the
+    grid/net learning-rate split of the triplane family) serialize as
+    g{i}/-prefixed groups in traversal order — the same order
+    flat_to_adam_state rebuilds them in."""
+    parts = _adam_parts(opt_state)
+    if not parts:
+        raise ValueError("no ScaleByAdamState found in optimizer state")
+    if len(parts) == 1:
+        part = parts[0]
+        flat = {"count": np.asarray(part.count)}
+        flat.update({f"mu/{k}": v for k, v in _flatten(part.mu).items()})
+        flat.update({f"nu/{k}": v for k, v in _flatten(part.nu).items()})
+        return flat
+    flat = {"n_groups": np.asarray(len(parts))}
+    for gi, part in enumerate(parts):
+        flat[f"g{gi}/count"] = np.asarray(part.count)
+        flat.update({f"g{gi}/mu/{k}": v
+                     for k, v in _flatten(part.mu).items()})
+        flat.update({f"g{gi}/nu/{k}": v
+                     for k, v in _flatten(part.nu).items()})
+    return flat
+
+
+def _merge_into(init, saved):
+    """Overlay a partially-saved tree (real leaves only) onto the freshly
+    initialized structure — masked positions (optax.MaskedNode) keep their
+    init placeholders."""
+    if isinstance(init, dict):
+        if not isinstance(saved, dict):
+            return init
+        return {k: _merge_into(v, saved[k]) if k in saved else v
+                for k, v in init.items()}
+    if isinstance(init, (list, tuple)):
+        if not isinstance(saved, (list, tuple)):
+            return init
+        merged = [_merge_into(a, b) for a, b in zip(init, saved)]
+        return type(init)(merged) if isinstance(init, tuple) else merged
+    if type(init).__name__ == "MaskedNode":
+        return init
+    return jnp.asarray(saved)
 
 
 def flat_to_adam_state(tx, params, flat: Dict[str, np.ndarray]):
-    """Rebuild the optimizer state for ``tx`` from serialized mu/nu/count."""
+    """Rebuild the optimizer state for ``tx`` from serialized mu/nu/count
+    (single-adam schema or the g{i}/ multi-group schema)."""
     import optax
 
     state = tx.init(params)
-    mu = _unflatten({k[3:]: v for k, v in flat.items() if k.startswith("mu/")})
-    nu = _unflatten({k[3:]: v for k, v in flat.items() if k.startswith("nu/")})
-    count = jnp.asarray(flat["count"], jnp.int32)
+    multi = "n_groups" in flat
 
-    mu = jax.tree_util.tree_map(jnp.asarray, mu)
-    nu = jax.tree_util.tree_map(jnp.asarray, nu)
+    def group(gi):
+        pre = f"g{gi}/" if multi else ""
+        mu = _unflatten({k[len(pre) + 3:]: v for k, v in flat.items()
+                         if k.startswith(pre + "mu/")})
+        nu = _unflatten({k[len(pre) + 3:]: v for k, v in flat.items()
+                         if k.startswith(pre + "nu/")})
+        return mu, nu, jnp.asarray(flat[pre + "count"], jnp.int32)
+
+    counter = {"i": 0}
+    max_count = jnp.asarray(0, jnp.int32)
+    if multi:
+        for gi in range(int(flat["n_groups"])):
+            max_count = jnp.maximum(max_count, group(gi)[2])
+    else:
+        max_count = jnp.asarray(flat["count"], jnp.int32)
 
     def replace_part(part):
         if isinstance(part, optax.ScaleByAdamState):
+            mu, nu, count = group(counter["i"])
+            counter["i"] += 1
             # jnp.array(copy=True): every leaf must own its buffer, or jit
             # donation of the state rejects the doubly-donated buffer
             return optax.ScaleByAdamState(
-                count=jnp.array(count, copy=True), mu=mu, nu=nu
+                count=jnp.array(count, copy=True),
+                mu=_merge_into(part.mu, mu),
+                nu=_merge_into(part.nu, nu),
             )
         if isinstance(part, optax.ScaleByScheduleState):
             # the LR schedule's step counter must resume too, or the decayed
             # learning rate would reset to its initial value
-            return optax.ScaleByScheduleState(count=jnp.array(count, copy=True))
+            return optax.ScaleByScheduleState(
+                count=jnp.array(max_count, copy=True))
         return part
 
     is_stateful = lambda x: isinstance(  # noqa: E731
@@ -334,11 +398,20 @@ def save_checkpoints(
     opt_flat = adam_state_to_flat(jax.device_get(state.opt_state))
     step = int(jax.device_get(state.step))
     paths = []
-    if fmt in ("native", "both"):
+    # the reference .tar schema is defined for the MLP family only
+    # (state_dict names pts_linears/..., reference nerf.py:79-94); grid
+    # families have no torch counterpart to round-trip with
+    tar_able = "pts_linears" in params.get("coarse", {})
+    if fmt == "tar" and not tar_able:
+        raise ValueError(
+            "torch .tar export is only defined for the 'nerf' model family "
+            "(the reference checkpoint schema has no grid-parameter "
+            "layout); use --ckpt_format native for this model")
+    if fmt in ("native", "both") or not tar_able:
         p = os.path.join(expdir, f"{i:06d}.ckpt.npz")
         save_native(p, params, opt_flat, step)
         paths.append(p)
-    if fmt in ("tar", "both"):
+    if fmt in ("tar", "both") and tar_able:
         p = os.path.join(expdir, f"{i:06d}.tar")
         save_tar(p, params, opt_flat, step)
         paths.append(p)
