@@ -253,6 +253,7 @@ def train(args):
         step_fn = make_fused_train_step(
             rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
             acc_reg=getattr(args, "acc_loss_weight", 0.0),
+            tv_reg=getattr(args, "tv_loss_weight", 0.0),
         )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
@@ -265,6 +266,7 @@ def train(args):
         hier_step_fn = make_fused_train_step(
             rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
             acc_reg=getattr(args, "acc_loss_weight", 0.0),
+            tv_reg=getattr(args, "tv_loss_weight", 0.0),
         )
         print(f"two-phase schedule: occ-gated until step {occ_until}, "
               f"hierarchical after")

@@ -220,6 +220,11 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--triplane_aabb", type=float, default=0.0,
                         help='triplane: scene half-extent (cube). 0 = auto '
                              'from the camera frustums at load time')
+    parser.add_argument("--tv_loss_weight", type=float, default=0.0,
+                        help='total-variation smoothness weight over grid-'
+                             'family feature planes (TensoRF/DVGO '
+                             'practice; suppresses floaters on held-out '
+                             'views). No-op for the MLP family')
     parser.add_argument("--grid_lrate", type=float, default=2e-2,
                         help='learning rate for grid parameters (the '
                              'feature planes); the decoder uses --lrate. '

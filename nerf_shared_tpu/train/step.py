@@ -60,6 +60,7 @@ def nerf_loss(
     ccfg: NeRFConfig,
     fcfg: Optional[NeRFConfig],
     acc_reg: float = 0.0,
+    tv_reg: float = 0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98).
 
@@ -98,6 +99,20 @@ def nerf_loss(
             sparsity = sparsity + jnp.mean(jnp.log1p(2.0 * sigma0**2))
         loss = loss + acc_reg * sparsity
         aux["acc_mean"] = jnp.mean(ret["acc_map"])
+    if tv_reg > 0.0:
+        # total-variation smoothness over grid-family feature planes
+        # (TensoRF/DVGO practice): explicit spatial features overfit train
+        # rays with floaters unless neighboring cells are tied together.
+        # No-op for the MLP family (no 'planes' leaf).
+        tv = 0.0
+        for branch in ("coarse", "fine"):
+            p = params.get(branch)
+            if isinstance(p, dict) and "planes" in p:
+                pl = p["planes"]
+                tv = tv + jnp.mean((pl[:, 1:] - pl[:, :-1]) ** 2) \
+                    + jnp.mean((pl[:, :, 1:] - pl[:, :, :-1]) ** 2)
+        loss = loss + tv_reg * tv
+        aux["tv"] = tv
     aux["loss"] = loss
     return loss, aux
 
@@ -111,6 +126,7 @@ def make_train_step(
     focal: float,
     donate: bool = True,
     acc_reg: float = 0.0,
+    tv_reg: float = 0.0,
 ):
     """Single-device jitted step over an explicit ray batch.
 
@@ -124,7 +140,7 @@ def make_train_step(
 
         def loss_fn(params):
             return nerf_loss(params, ray_batch, target, key, rcfg, ccfg, fcfg,
-                             acc_reg=acc_reg)
+                             acc_reg=acc_reg, tv_reg=tv_reg)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
@@ -194,6 +210,7 @@ def make_fused_train_step(
     inner_steps: int = 1,
     donate: bool = True,
     acc_reg: float = 0.0,
+    tv_reg: float = 0.0,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -241,7 +258,7 @@ def make_fused_train_step(
         def loss_fn(params):
             return nerf_loss(
                 params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
-                acc_reg=acc_reg,
+                acc_reg=acc_reg, tv_reg=tv_reg,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
