@@ -77,6 +77,14 @@ def main():
                          "scene (measured: without it the hierarchical "
                          "trainer collapses to all-transparent)")
     ap.add_argument("--precrop_frac", type=float, default=0.5)
+    ap.add_argument("--model", type=str, default="nerf",
+                    choices=("nerf", "triplane"),
+                    help="model family: triplane = grid radiance field "
+                         "(models/triplane.py); trains via XLA with the "
+                         "grid/net lr split and --tv TV smoothness")
+    ap.add_argument("--triplane_res", type=int, default=256)
+    ap.add_argument("--triplane_feat", type=int, default=16)
+    ap.add_argument("--tv", type=float, default=0.0)
     ap.add_argument("--occ_until", type=int, default=0,
                     help="two-phase schedule: occ-gated until this step, "
                          "then the hierarchical step with the coarse net "
@@ -99,9 +107,16 @@ def main():
         images, poses, K, H, W, i_train, i_test = make_hard(size=a.size)
     else:
         images, poses, K, H, W, i_train, i_test = make_scene(size=a.size)
-    cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
-                     multires_views=4, skips=(4,))
     on_tpu = jax.default_backend() == "tpu"
+    if a.model == "triplane":
+        from nerf_shared_tpu.models.triplane import TriplaneConfig
+
+        cfg = TriplaneConfig(G=a.triplane_res, C=a.triplane_feat,
+                             aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
+        on_tpu = False  # Pallas kernels are MLP-family only; XLA autodiff
+    else:
+        cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
+                         multires_views=4, skips=(4,))
     spec = PixelSamplerSpec.from_K(H, W, K, a.n_rand, single_image=True,
                                    precrop_iters=a.precrop_iters,
                                    precrop_frac=a.precrop_frac)
@@ -122,14 +137,14 @@ def main():
         state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
                                    lrate=5e-4, lrate_decay=250)
         step = make_fused_train_step(rcfg, cfg, cfg, spec, inner_steps=inner,
-                                     donate=False)
+                                     donate=False, tv_reg=a.tv)
         # warmup sigma noise: the robust escape from the white-background
         # transparency trap (precrop alone is RNG-fragile at 400p on the
         # hard scene — measured; the occ phase below has used this since
         # round 2). raw_noise_std is the reference's own regularizer.
         step_warm = make_fused_train_step(
             _dch.replace(rcfg, raw_noise_std=1.0), cfg, cfg, spec,
-            inner_steps=inner, donate=False)
+            inner_steps=inner, donate=False, tv_reg=a.tv)
         state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))
         state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
                                    lrate=5e-4, lrate_decay=250)
@@ -140,7 +155,8 @@ def main():
                 jax.random.fold_in(jax.random.PRNGKey(1), i))
             float(aux["loss"])  # fence
             wall = time.perf_counter() - t0
-            rec = {"impl": "hierarchical", "step": i + inner,
+            rec = {"impl": "hierarchical" if a.model == "nerf"
+                   else f"hierarchical_{a.model}", "step": i + inner,
                    "wall_s": round(wall, 2),
                    "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
             log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
@@ -172,6 +188,8 @@ def main():
     dg = init_density_grid(lo, hi, a.grid_res)
     impl = ("occ_hybrid" if a.occ_until > 0
             else "occ_budget" if a.budget else "occ_gated")
+    if a.model != "nerf":
+        impl = f"{impl}_{a.model}"
     hstep = None
     t0 = time.perf_counter()
     for i in range(0, a.steps, inner):
