@@ -375,6 +375,43 @@ def test_e2e_in_training_occ_maintenance(tmp_path):
         assert np.isfinite(img).all()
 
 
+def test_e2e_triplane_cli(tmp_path):
+    """--model_type triplane drives the full CLI on the 8-device mesh:
+    auto AABB, grid/net lr split, native-only checkpoints, resume, and a
+    finite render_only pass."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
+        model_type="triplane", triplane_res=16, triplane_feat=4,
+        triplane_hidden=8, tv_loss_weight=1e-4, chunk=256,
+        precrop_iters=0,
+    )
+    run(config_parser().parse_args(["--config", cfg_path]))
+    expdir = os.path.join(logdir, "tiny_e2e")
+    assert glob.glob(os.path.join(expdir, "000016.ckpt.npz"))
+    assert not glob.glob(os.path.join(expdir, "*.tar"))  # grid family
+
+    run(config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "32", "--i_weights", "32"]
+    ))
+    assert glob.glob(os.path.join(expdir, "000032.ckpt.npz"))
+
+    outdir = render_only(config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256"]
+    ))
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert len(pngs) == 2
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
+
+
 def test_e2e_two_phase_schedule(tmp_path, capsys):
     """--train_occ_until: occ-gated phase, then the hierarchical trainer
     with the coarse branch seeded from the trained fine net. The switch
