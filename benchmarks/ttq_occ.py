@@ -172,10 +172,12 @@ def main():
     state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
                                lrate_decay=250)
     ostep = make_occ_train_step(rcfg_o, cfg, spec, n_candidates=a.candidates,
-                                n_keep=a.keep, inner_steps=inner)
+                                n_keep=a.keep, inner_steps=inner,
+                                tv_reg=a.tv)
     ostep_warm = make_occ_train_step(
         _dc.replace(rcfg_o, raw_noise_std=1.0), cfg, spec,
-        n_candidates=a.candidates, n_keep=a.keep, inner_steps=inner)
+        n_candidates=a.candidates, n_keep=a.keep, inner_steps=inner,
+        tv_reg=a.tv)
     lo = np.array([-5.5, -5.5, -5.5]); hi = np.array([5.5, 5.5, 5.5])
     dg = init_density_grid(lo, hi, a.grid_res)
     occ = binarize_density_grid(dg)

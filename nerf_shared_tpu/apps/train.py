@@ -45,6 +45,17 @@ def _models_from_state(state, ccfg, fcfg):
     return coarse, fine
 
 
+def _grid_select(args) -> str:
+    """Candidate-selection policy forwarded to occ renders: only grid mode
+    has the knob — froxel mode raises on non-default select (and applies
+    contribution weighting automatically when the grid carries sigma), so
+    hooks must not forward --occ_select there (it would abort training at
+    the first render hook)."""
+    if getattr(args, "occ_mode", "froxel") == "grid":
+        return getattr(args, "occ_select", "sort")
+    return "sort"
+
+
 def _occ_aabb(renderer, ds, H, W, K):
     """Scene AABB for occupancy grids: the camera-frustum hull in world
     space, or the NDC cube (with a half-pixel margin) for NDC scenes —
@@ -117,22 +128,7 @@ def train(args):
     copy_log_dir(args)
     tb_writer = make_tb_writer(args)
 
-    if (getattr(args, "model_type", "nerf") == "triplane"
-            and not getattr(args, "triplane_aabb", 0.0)):
-        # auto scene bounds for the feature planes: NDC scenes live in the
-        # [-1,1] cube; otherwise bound the camera frustums
-        if args.dataset_type == "llff" and not args.no_ndc:
-            args.triplane_aabb = 1.5
-        else:
-            from nerf_shared_tpu.render.occupancy import aabb_from_poses
-
-            lo, hi = aabb_from_poses(
-                H, W, ds.K, ds.poses[ds.i_train],
-                float(ds.bds_dict["near"]), float(ds.bds_dict["far"]),
-            )
-            args.triplane_aabb = float(
-                max(np.abs(lo).max(), np.abs(hi).max()))
-        print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
+    _resolve_triplane_aabb(args, ds, H, W)
 
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
@@ -201,6 +197,7 @@ def train(args):
             n_keep=args.train_occ_keep,
             explore=args.train_occ_explore,
             mesh=mesh, inner_steps=inner,
+            tv_reg=getattr(args, "tv_loss_weight", 0.0),
         )
         # warmup variant: sigma noise (the reference's own raw_noise_std
         # regularizer) breaks the zero-gradient transparency trap — at the
@@ -218,6 +215,7 @@ def train(args):
                 n_keep=args.train_occ_keep,
                 explore=args.train_occ_explore,
                 mesh=mesh, inner_steps=inner,
+                tv_reg=getattr(args, "tv_loss_weight", 0.0),
             )
             if warm_noise != float(rcfg.raw_noise_std) else occ_step
         )
@@ -392,9 +390,17 @@ def train(args):
           f"{inner} steps/dispatch")
 
     i = start + 1
-    if occ_until > 0 and i > occ_until:
-        # resumed past the switch point: the checkpoint already carries the
-        # post-switch coarse net — enter the hierarchical phase directly
+    if occ_until > 0 and start - inner + 1 > occ_until:
+        # Resumed past the SWITCHING dispatch — the checkpoint already
+        # carries the post-switch coarse net; enter the hierarchical phase
+        # without re-syncing (coarse has trained since). The switch fires
+        # at the first dispatch whose start exceeds occ_until, and
+        # checkpoints land at dispatch ends (inner = gcd of the i_*
+        # cadences includes i_weights), so a checkpoint at `start` is
+        # post-switch iff its own dispatch began after occ_until:
+        # start - inner + 1 > occ_until. A checkpoint saved exactly at the
+        # boundary (its dispatch still occ-gated) falls through to the
+        # in-loop switch below and gets the coarse<-fine sync on resume.
         step_fn = hier_step_fn
         _phase["switched"] = True
         print(f"[PHASE] resume at step {i} > {occ_until}: "
@@ -454,7 +460,7 @@ def train(args):
                 occ_keep=args.occ_keep,
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
-                occ_select=getattr(args, "occ_select", "sort"),
+                occ_select=_grid_select(args),
                 render_fn=(sharded_hook(state, last)
                            if sharded_hook else None),
             )
@@ -478,7 +484,7 @@ def train(args):
                     chunk=args.chunk,
                     n_candidates=args.occ_candidates, n_keep=args.occ_keep,
                     mode=args.occ_mode, tile=args.occ_tile,
-                    select=getattr(args, "occ_select", "sort"),
+                    select=_grid_select(args),
                 )
             else:
                 rgb, _, _, _ = renderer.render_from_pose(
@@ -515,7 +521,7 @@ def train(args):
                 occ_keep=args.occ_keep,
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
-                occ_select=getattr(args, "occ_select", "sort"),
+                occ_select=_grid_select(args),
                 render_fn=(sharded_hook(state, last)
                            if sharded_hook else None),
             )
@@ -526,6 +532,29 @@ def train(args):
         args.basedir, args.expname, state, N_iters - 1, fmt=args.ckpt_format
     )
     return state
+
+
+def _resolve_triplane_aabb(args, ds, H, W):
+    """Fill args.triplane_aabb (when 0 = auto) the SAME way in every entry
+    point: triplane params are decoded against this box, so training and
+    render_only/resume must derive the identical value or the planes are
+    silently rescaled to the wrong world coordinates. NDC scenes live in
+    the [-1,1] cube; otherwise bound the camera frustums (deterministic in
+    the dataset's TRAIN poses)."""
+    if (getattr(args, "model_type", "nerf") != "triplane"
+            or getattr(args, "triplane_aabb", 0.0)):
+        return
+    if args.dataset_type == "llff" and not args.no_ndc:
+        args.triplane_aabb = 1.5
+    else:
+        from nerf_shared_tpu.render.occupancy import aabb_from_poses
+
+        lo, hi = aabb_from_poses(
+            H, W, ds.K, ds.poses[ds.i_train],
+            float(ds.bds_dict["near"]), float(ds.bds_dict["far"]),
+        )
+        args.triplane_aabb = float(max(np.abs(lo).max(), np.abs(hi).max()))
+    print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
 
 
 def render_only(args):
@@ -540,6 +569,7 @@ def render_only(args):
     else:
         K = ds.K
 
+    _resolve_triplane_aabb(args, ds, int(ds.hwf[0]), int(ds.hwf[1]))
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
     state, start = ckpt_utils.load_checkpoint(state, args)

@@ -46,8 +46,10 @@ import numpy as np
 from nerf_shared_tpu.models.nerf import NeRFConfig
 from nerf_shared_tpu.render.occupancy import (
     OccupancyGrid,
+    estimate_contribution,
     lookup,
     lookup_sigma,
+    rank_pack_topk,
 )
 from nerf_shared_tpu.render.renderer import (
     RenderConfig,
@@ -204,16 +206,12 @@ def build_froxels(
 
     weight = None
     if score is not None:
-        # estimated compositing contribution per bin along the tile ray:
-        # alpha_c = 1 - exp(-sigma_c * bin_width), T_c = prod_{j<c}(1-alpha)
+        # estimated compositing contribution per bin along the tile ray
         # (widths in ray-parameter t; the per-ray |d| factor is a common
-        # scale within a tile and only ranking matters)
-        widths = (upper - lower)[None, None, :]
-        alpha = 1.0 - jnp.exp(-score * widths)
-        trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-        trans = jnp.concatenate(
-            [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
-        weight = jnp.where(bits, alpha * trans, 0.0)
+        # scale within a tile and only ranking matters). Shared estimator
+        # with the world-grid weighted path (occupancy.estimate_contribution)
+        weight = estimate_contribution(
+            score, (upper - lower)[None, None, :], bits)
     return FroxelGrid(bits, lower, upper, z0, weight)
 
 
@@ -245,22 +243,10 @@ def _select_bins_weighted(bits: jnp.ndarray, weight: jnp.ndarray,
     budget where the color mass is; zero-weight marked bins degrade to
     nearest-first via the packed index tiebreak.
 
-    Gather-free: (quantized 1-w) << 10 | bin_index packs rank and identity
-    into one int32 key, one ascending lane sort selects, a second K-lane
-    sort restores depth order. bits/weight [T, C] -> (idx [T, K] int32,
-    valid [T, K] bool)."""
-    C = bits.shape[-1]
-    assert C <= 1024, "bin index must fit 10 bits"
-    big = jnp.int32(1 << 30)
-    iota = jax.lax.iota(jnp.int32, C)
-    rank = (jnp.clip(1.0 - weight, 0.0, 1.0)
-            * float((1 << 20) - 1)).astype(jnp.int32) << 10
-    keys = jnp.where(bits, rank | iota, big)
-    sel = jnp.sort(keys, axis=-1)[:, :n_keep]
-    idx = jnp.where(sel < big, sel & 1023, jnp.int32(2 * C))
-    idx = jnp.sort(idx, axis=-1)          # restore ascending depth
-    valid = idx < C
-    return jnp.minimum(idx, C - 1), valid
+    Selection mechanics (int32 rank|index packing + double lane sort) are
+    shared with the world-grid path: occupancy.rank_pack_topk.
+    bits/weight [T, C] -> (idx [T, K] int32, valid [T, K] bool)."""
+    return rank_pack_topk(bits, weight, n_keep)
 
 
 def _broadcast_tiles(x: jnp.ndarray, H: int, W: int, tile: int):

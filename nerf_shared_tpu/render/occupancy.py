@@ -103,28 +103,65 @@ def lookup(occ: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
     return hit & in_box
 
 
-def lookup_sigma(occ: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
-    """pts [..., 3] -> float32 [...]: the cell's stored max density (0.0
-    outside the AABB or when the grid carries no sigma). Same one-row-gather
-    + lane-select formulation as ``lookup``."""
-    if occ.sigma is None:
-        return jnp.zeros(pts.shape[:-1], jnp.float32)
-    shape = jnp.asarray(occ.sigma.shape, jnp.float32)
-    u = (pts - occ.aabb_min) / (occ.aabb_max - occ.aabb_min)
+def lookup_values(values: jnp.ndarray, aabb_min, aabb_max,
+                  pts: jnp.ndarray) -> jnp.ndarray:
+    """pts [..., 3] -> float [...]: nearest-cell read of a [G,G,G] value
+    grid — the one shared row-gather + lane-select formulation behind
+    ``lookup``, ``lookup_sigma``, and the occ trainer's budgeting weights.
+    Outside the AABB -> 0."""
+    shape = jnp.asarray(values.shape, jnp.float32)
+    u = (pts - aabb_min) / (aabb_max - aabb_min)
     in_box = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
-    idx = jnp.clip(
-        (u * shape).astype(jnp.int32),
-        0,
-        jnp.asarray(occ.sigma.shape, jnp.int32) - 1,
-    )
-    g0, g1, g2 = occ.sigma.shape
-    rows = jnp.take(
-        occ.sigma.reshape(g0 * g1, g2),
-        idx[..., 0] * g1 + idx[..., 1], axis=0, mode="clip",
-    )  # [..., G2]
+    idx = jnp.clip((u * shape).astype(jnp.int32), 0,
+                   jnp.asarray(values.shape, jnp.int32) - 1)
+    g0, g1, g2 = values.shape
+    rows = jnp.take(values.reshape(g0 * g1, g2),
+                    idx[..., 0] * g1 + idx[..., 1], axis=0, mode="clip")
     lane = jax.lax.iota(jnp.int32, g2) == idx[..., 2][..., None]
     val = jnp.sum(jnp.where(lane, rows, 0.0), axis=-1)
     return jnp.where(in_box, val, 0.0)
+
+
+def lookup_sigma(occ: OccupancyGrid, pts: jnp.ndarray) -> jnp.ndarray:
+    """pts [..., 3] -> float32 [...]: the cell's stored max density (0.0
+    outside the AABB or when the grid carries no sigma)."""
+    if occ.sigma is None:
+        return jnp.zeros(pts.shape[:-1], jnp.float32)
+    return lookup_values(occ.sigma, occ.aabb_min, occ.aabb_max, pts)
+
+
+def estimate_contribution(sigma: jnp.ndarray, widths: jnp.ndarray,
+                          mask: jnp.ndarray) -> jnp.ndarray:
+    """Estimated compositing weight w = alpha·T per candidate from grid
+    densities: alpha_c = 1 - exp(-sigma_c · width_c) on masked entries
+    (unmasked = treated empty, exactly as the renderers skip them),
+    T_c = prod_{j<c}(1 - alpha_j + 1e-10). Shared by the froxel and
+    world-grid weighted selections so the two paths cannot drift."""
+    alpha = jnp.where(mask, 1.0 - jnp.exp(-sigma * widths), 0.0)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
+    trans = jnp.concatenate(
+        [jnp.ones_like(trans[..., :1]), trans[..., :-1]], axis=-1)
+    return alpha * trans
+
+
+def rank_pack_topk(mask: jnp.ndarray, weight: jnp.ndarray, n_keep: int):
+    """Gather-free top-K by weight among masked entries, ascending index
+    order: (quantized 1-w) << 10 | index packs rank and identity into one
+    int32 key, one lane sort selects, a K-lane sort restores index order.
+    Zero-weight ties degrade to nearest-first via the index tiebreak.
+    mask/weight [T, C] -> (idx [T, K] int32 clipped to C-1, valid [T, K])."""
+    C = mask.shape[-1]
+    assert C <= 1024, "candidate index must fit 10 bits"
+    big = jnp.int32(1 << 30)
+    iota = jax.lax.iota(jnp.int32, C)
+    rank = (jnp.clip(1.0 - weight, 0.0, 1.0)
+            * float((1 << 20) - 1)).astype(jnp.int32) << 10
+    keys = jnp.where(mask, rank | iota, big)
+    sel = jnp.sort(keys, axis=-1)[:, :n_keep]
+    idx = jnp.where(sel < big, sel & 1023, jnp.int32(2 * C))
+    idx = jnp.sort(idx, axis=-1)          # restore ascending order
+    valid = idx < C
+    return jnp.minimum(idx, C - 1), valid
 
 
 def coarsen(occ: OccupancyGrid, factor: int) -> OccupancyGrid:
@@ -355,31 +392,16 @@ def _topk_weighted_occupied(z_cand, sig_c, occ_c, n_keep, far):
     candidates degrade to nearest-first via the packed index tiebreak, so an
     all-equal-sigma grid reproduces the "sort" selection exactly.
 
-    Gather-free: (quantized 1-w) << 10 | candidate_index packs rank and
-    identity into one int32 key, one ascending lane sort selects, a second
-    K-lane sort restores depth order, and the z values come back through a
-    one-hot masked reduction (the sample_pdf pattern, ops/sampling.py) —
-    no per-ray gather. Returns (z_sel [R, K] padded to ``far``, valid)."""
+    Gather-free: rank_pack_topk selects by packed int32 keys, and the z
+    values come back through a one-hot masked reduction (the sample_pdf
+    pattern, ops/sampling.py) — no per-ray gather. Returns
+    (z_sel [R, K] padded to ``far``, valid)."""
     C = z_cand.shape[-1]
-    assert C <= 1024, "candidate index must fit 10 bits"
     deltas = jnp.diff(z_cand, axis=-1)
     deltas = jnp.concatenate([deltas, deltas[:, -1:]], axis=-1)
-    alpha = jnp.where(occ_c, 1.0 - jnp.exp(-sig_c * deltas), 0.0)
-    trans = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
-    trans = jnp.concatenate(
-        [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=-1)
-    w = alpha * trans
-
-    iota = jax.lax.iota(jnp.int32, C)
-    rank = (jnp.clip(1.0 - w, 0.0, 1.0)
-            * float((1 << 20) - 1)).astype(jnp.int32) << 10
-    big = jnp.int32(1 << 30)
-    keys = jnp.where(occ_c, rank | iota[None, :], big)
-    sel = jnp.sort(keys, axis=-1)[:, :n_keep]
-    idx = jnp.where(sel < big, sel & 1023, jnp.int32(2 * C))
-    idx = jnp.sort(idx, axis=-1)          # restore ascending depth
-    valid = idx < C
-    onehot = jnp.minimum(idx, C - 1)[..., None] == iota[None, None, :]
+    w = estimate_contribution(sig_c, deltas, occ_c)
+    idx, valid = rank_pack_topk(occ_c, w, n_keep)
+    onehot = idx[..., None] == jax.lax.iota(jnp.int32, C)[None, None, :]
     z_sel = jnp.sum(jnp.where(onehot, z_cand[:, None, :], 0.0), axis=-1)
     return jnp.where(valid, z_sel, far), valid
 

@@ -39,7 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from nerf_shared_tpu.models.nerf import NeRFConfig
-from nerf_shared_tpu.render.occupancy import OccupancyGrid, _dilate, lookup
+from nerf_shared_tpu.render.occupancy import (
+    OccupancyGrid,
+    _dilate,
+    lookup,
+    lookup_values,
+)
 from nerf_shared_tpu.render.renderer import RenderConfig, _apply_model, _composite
 from nerf_shared_tpu.train.state import TrainState
 from nerf_shared_tpu.train.step import pack_ray_batch
@@ -63,22 +68,8 @@ _UNINIT = 1e4  # sentinel: "no probe yet" — binarizes occupied, and the
                # updates, disabling skipping for most of a training run)
 
 
-def lookup_values(values: jnp.ndarray, aabb_min, aabb_max,
-                  pts: jnp.ndarray) -> jnp.ndarray:
-    """pts [..., 3] -> float [...]: nearest-cell read of a [G,G,G] value
-    grid (same row-gather + lane-select formulation as occupancy.lookup).
-    Outside the AABB -> 0."""
-    shape = jnp.asarray(values.shape, jnp.float32)
-    u = (pts - aabb_min) / (aabb_max - aabb_min)
-    in_box = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
-    idx = jnp.clip((u * shape).astype(jnp.int32), 0,
-                   jnp.asarray(values.shape, jnp.int32) - 1)
-    g0, g1, g2 = values.shape
-    rows = jnp.take(values.reshape(g0 * g1, g2),
-                    idx[..., 0] * g1 + idx[..., 1], axis=0, mode="clip")
-    lane = jax.lax.iota(jnp.int32, g2) == idx[..., 2][..., None]
-    val = jnp.sum(jnp.where(lane, rows, 0.0), axis=-1)
-    return jnp.where(in_box, val, 0.0)
+# single shared formulation lives in render/occupancy.py; re-exported here
+# because the budgeting path and its tests address it by this name
 
 
 def init_density_grid(aabb_min, aabb_max, resolution: int) -> DensityGrid:
@@ -270,6 +261,7 @@ def occ_nerf_loss(
     n_keep: int,
     explore: float = 0.0,
     density: Optional[DensityGrid] = None,
+    tv_reg: float = 0.0,
 ):
     """MSE of the grid-gated fine render against target pixels.
 
@@ -307,14 +299,24 @@ def occ_nerf_loss(
     rgb, _, acc, _, _ = _composite(raw, z_sel, rays_d, rcfg, k_noise, None)
 
     img_loss = img2mse(rgb, target)
+    loss = img_loss
     aux = {
-        "loss": img_loss,
         "img_loss": img_loss,
         "psnr": mse2psnr(img_loss),
         "n_active_mean": jnp.mean(jnp.sum(valid, -1).astype(jnp.float32)),
         "acc_mean": jnp.mean(acc),
     }
-    return img_loss, aux
+    if tv_reg > 0.0 and isinstance(params["fine"], dict) \
+            and "planes" in params["fine"]:
+        # grid-family TV smoothness — same term as train/step.py nerf_loss,
+        # so --tv_loss_weight means the same thing under --train_occ
+        pl = params["fine"]["planes"]
+        tv = jnp.mean((pl[:, 1:] - pl[:, :-1]) ** 2) \
+            + jnp.mean((pl[:, :, 1:] - pl[:, :, :-1]) ** 2)
+        loss = loss + tv_reg * tv
+        aux["tv"] = tv
+    aux["loss"] = loss
+    return loss, aux
 
 
 def make_occ_train_step(
@@ -327,6 +329,7 @@ def make_occ_train_step(
     mesh=None,
     inner_steps: int = 1,
     donate: bool = True,
+    tv_reg: float = 0.0,
 ):
     """The occupancy-gated production step, mirroring make_fused_train_step:
     pixel sampling + grid triage + fine render + backward + Adam in one XLA
@@ -383,6 +386,7 @@ def make_occ_train_step(
             return occ_nerf_loss(
                 params, occ, ray_batch, target, k_render, rcfg, fcfg,
                 n_candidates, n_keep, explore=explore, density=density,
+                tv_reg=tv_reg,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

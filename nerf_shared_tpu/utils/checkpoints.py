@@ -132,19 +132,49 @@ def adam_state_to_flat(opt_state) -> Dict[str, np.ndarray]:
     return flat
 
 
-def _merge_into(init, saved):
+def _has_real_leaves(tree) -> bool:
+    """True if the subtree holds any actual array position (i.e. anything
+    besides optax.MaskedNode placeholders)."""
+    if isinstance(tree, dict):
+        return any(_has_real_leaves(v) for v in tree.values())
+    if isinstance(tree, (list, tuple)):
+        return any(_has_real_leaves(v) for v in tree)
+    return type(tree).__name__ != "MaskedNode"
+
+
+def _merge_into(init, saved, path=""):
     """Overlay a partially-saved tree (real leaves only) onto the freshly
-    initialized structure — masked positions (optax.MaskedNode) keep their
-    init placeholders."""
+    initialized structure. Masked positions (optax.MaskedNode — the
+    out-of-group leaves of a multi_transform part) legitimately have no
+    saved counterpart and keep their placeholders; a REAL leaf missing from
+    the save is a structure mismatch (changed architecture / truncated
+    file) and must fail loudly — silently keeping zero Adam moments at a
+    late-schedule count would spike the effective LR with no diagnostic."""
     if isinstance(init, dict):
         if not isinstance(saved, dict):
-            return init
-        return {k: _merge_into(v, saved[k]) if k in saved else v
-                for k, v in init.items()}
+            raise ValueError(
+                f"checkpoint optimizer-state mismatch at '{path}': "
+                f"expected a dict, saved has {type(saved).__name__}")
+        out = {}
+        for k, v in init.items():
+            if k in saved:
+                out[k] = _merge_into(v, saved[k], f"{path}{k}/")
+            elif _has_real_leaves(v):
+                raise ValueError(
+                    f"checkpoint optimizer-state mismatch: '{path}{k}' "
+                    "exists in the model but not in the checkpoint "
+                    "(architecture changed since save?)")
+            else:
+                out[k] = v  # masked subtree — nothing was saved, correctly
+        return out
     if isinstance(init, (list, tuple)):
-        if not isinstance(saved, (list, tuple)):
-            return init
-        merged = [_merge_into(a, b) for a, b in zip(init, saved)]
+        if not isinstance(saved, (list, tuple)) or len(saved) != len(init):
+            raise ValueError(
+                f"checkpoint optimizer-state mismatch at '{path}': "
+                f"sequence length {len(init)} vs saved "
+                f"{len(saved) if isinstance(saved, (list, tuple)) else type(saved).__name__}")
+        merged = [_merge_into(a, b, f"{path}{i}/")
+                  for i, (a, b) in enumerate(zip(init, saved))]
         return type(init)(merged) if isinstance(init, tuple) else merged
     if type(init).__name__ == "MaskedNode":
         return init
@@ -167,17 +197,15 @@ def flat_to_adam_state(tx, params, flat: Dict[str, np.ndarray]):
                          if k.startswith(pre + "nu/")})
         return mu, nu, jnp.asarray(flat[pre + "count"], jnp.int32)
 
+    n_groups = int(flat["n_groups"]) if multi else 1
+    groups = [group(gi) for gi in range(n_groups)]
+    max_count = jnp.asarray(max(int(g[2]) for g in groups), jnp.int32)
+
     counter = {"i": 0}
-    max_count = jnp.asarray(0, jnp.int32)
-    if multi:
-        for gi in range(int(flat["n_groups"])):
-            max_count = jnp.maximum(max_count, group(gi)[2])
-    else:
-        max_count = jnp.asarray(flat["count"], jnp.int32)
 
     def replace_part(part):
         if isinstance(part, optax.ScaleByAdamState):
-            mu, nu, count = group(counter["i"])
+            mu, nu, count = groups[counter["i"]]
             counter["i"] += 1
             # jnp.array(copy=True): every leaf must own its buffer, or jit
             # donation of the state rejects the doubly-donated buffer

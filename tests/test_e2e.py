@@ -375,10 +375,12 @@ def test_e2e_in_training_occ_maintenance(tmp_path):
         assert np.isfinite(img).all()
 
 
-def test_e2e_triplane_cli(tmp_path):
+def test_e2e_triplane_cli(tmp_path, capsys):
     """--model_type triplane drives the full CLI on the 8-device mesh:
     auto AABB, grid/net lr split, native-only checkpoints, resume, and a
-    finite render_only pass."""
+    finite render_only pass. The auto AABB must resolve to the SAME box in
+    every entry point — planes decoded over a different box render silently
+    wrong (regression: render_only used to fall back to the 4.5 default)."""
     root = str(tmp_path)
     datadir = os.path.join(root, "scene")
     logdir = os.path.join(root, "logs")
@@ -390,7 +392,14 @@ def test_e2e_triplane_cli(tmp_path):
         triplane_hidden=8, tv_loss_weight=1e-4, chunk=256,
         precrop_iters=0,
     )
+    def _aabb_printed(out):
+        lines = [ln for ln in out.splitlines()
+                 if "triplane aabb half-extent" in ln]
+        assert lines, "auto AABB was not resolved"
+        return lines[-1].split(":")[-1].strip()
+
     run(config_parser().parse_args(["--config", cfg_path]))
+    aabb_train = _aabb_printed(capsys.readouterr().out)
     expdir = os.path.join(logdir, "tiny_e2e")
     assert glob.glob(os.path.join(expdir, "000016.ckpt.npz"))
     assert not glob.glob(os.path.join(expdir, "*.tar"))  # grid family
@@ -399,11 +408,15 @@ def test_e2e_triplane_cli(tmp_path):
         ["--config", cfg_path, "--N_iters", "32", "--i_weights", "32"]
     ))
     assert glob.glob(os.path.join(expdir, "000032.ckpt.npz"))
+    capsys.readouterr()
 
     outdir = render_only(config_parser().parse_args(
         ["--config", cfg_path, "--render_only", "--render_test",
          "--chunk", "256"]
     ))
+    aabb_render = _aabb_printed(capsys.readouterr().out)
+    assert aabb_render == aabb_train, (
+        f"render_only resolved aabb {aabb_render} != train {aabb_train}")
     pngs = glob.glob(os.path.join(outdir, "*.png"))
     assert len(pngs) == 2
     import imageio.v2 as imageio
@@ -443,6 +456,40 @@ def test_e2e_two_phase_schedule(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "[PHASE] resume" in out
     assert glob.glob(os.path.join(logdir, "tiny_e2e", "000024*"))
+
+
+def test_e2e_two_phase_boundary_resume_syncs(tmp_path, capsys):
+    """A checkpoint saved at exactly the switch boundary (its dispatch
+    still occ-gated, coarse untrained) must get the coarse<-fine sync on
+    resume — the resume fast-path only applies to checkpoints whose own
+    dispatch began after occ_until. Regression: `i > occ_until` used to
+    misclassify the boundary checkpoint as post-switch and skip the sync,
+    leaving the hierarchical phase importance-sampling from a garbage
+    coarse net."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=8, i_weights=8, i_print=8,
+        train_occ=True, train_occ_until=8, train_occ_res=8,
+        train_occ_candidates=12, train_occ_keep=6, precrop_iters=0,
+        chunk=256,
+    )
+    # run 1 ends exactly at the boundary: all dispatches occ-gated, no sync
+    run(config_parser().parse_args(["--config", cfg_path]))
+    out = capsys.readouterr().out
+    assert "occ -> hierarchical" not in out
+
+    # resume past the boundary: the sync must fire now
+    run(config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "16", "--i_weights", "16"]
+    ))
+    out = capsys.readouterr().out
+    assert "[PHASE] resume" not in out
+    assert "occ -> hierarchical" in out
+    assert "coarse seeded from fine" in out
 
 
 def test_e2e_train_occ(tmp_path):
