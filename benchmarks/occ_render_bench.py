@@ -82,12 +82,41 @@ def main(H=800, W=800, chunk=32768, res=128):
             return float(jnp.sum(ret["rgb_map"]))
         return run
 
+    # grid-family rows: the triplane decoder is ~50x fewer FLOPs per point
+    # than the 8x256 MLP, so render time becomes lookup/composite-bound —
+    # the fps ceiling for pose renders when the user opts into the family
+    from nerf_shared_tpu.models.triplane import Triplane, TriplaneConfig
+
+    tcfg = TriplaneConfig(G=256, C=16, aabb_min=(-1.5,) * 3,
+                          aabb_max=(1.5,) * 3)
+    tri = Triplane.create(jax.random.PRNGKey(1), tcfg)
+    rcfg_t = RenderConfig(N_samples=64, N_importance=128, near=2.0, far=6.0,
+                          perturb=0.0, white_bkgd=True)
+    renderer_t = Renderer(N_samples=64, N_importance=128, near=2.0, far=6.0,
+                          perturb=0.0, white_bkgd=True)
+
+    def run_tri_dense():
+        rgb, _, _, _ = renderer_t.render_from_pose(
+            H, W, K, chunk, c2w, tri, tri, retraw=False)
+        return float(jnp.sum(rgb))
+
+    def make_tri_froxel_run(C, Kp):
+        def run():
+            ret = render_image_froxels(
+                tri, occ, rcfg_t, H, W, K, jnp.asarray(c2w),
+                n_depth=C, n_keep=Kp)
+            return float(jnp.sum(ret["rgb_map"]))
+        return run
+
     results = {}
     for name, fn in (("dense 64+128", run_dense),
                      ("occ C=128 K=64", make_occ_run(False)),
                      ("occ + ray gate", make_occ_run(True)),
                      ("froxel C=64 K=16", make_froxel_run(64, 16)),
-                     ("froxel C=64 K=32", make_froxel_run(64, 32))):
+                     ("froxel C=64 K=32", make_froxel_run(64, 32)),
+                     ("triplane dense 64+128", run_tri_dense),
+                     ("triplane froxel C=64 K=16",
+                      make_tri_froxel_run(64, 16))):
         fn()  # compile
         t0 = time.perf_counter()
         n_rep = 3

@@ -26,7 +26,11 @@ timeout 7200 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
   --log benchmarks/ttq_hard_triplane.jsonl > /tmp/ttq_triplane.out 2>&1
 q "3/4 done rc=$?"
 
-q "4/4 bench.py refresh"
+q "4/5 occ_render_bench 800p (incl. triplane rows)"
+timeout 3600 python -u benchmarks/occ_render_bench.py > /tmp/render_bench_r3.out 2>&1
+q "4/5 done rc=$?"
+
+q "5/5 bench.py refresh"
 timeout 3600 python -u bench.py > /tmp/bench_r3.out 2>&1
-q "4/4 done rc=$?"
+q "5/5 done rc=$?"
 q "all done"
