@@ -111,6 +111,11 @@ def main(argv=None):
 
     ds = load_datasets(args)
     H, W, _ = ds.hwf
+    # triplane checkpoints are decoded against the auto-resolved scene box;
+    # every entry point must derive the identical value (apps/train.py)
+    from nerf_shared_tpu.apps.train import _resolve_triplane_aabb
+
+    _resolve_triplane_aabb(args, ds, H, W)
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
     state, start = ckpt_utils.load_checkpoint(state, args)

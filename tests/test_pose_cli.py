@@ -41,3 +41,39 @@ def test_pose_cli_end_to_end(tmp_path):
     assert history[-1]["loss"] < history[0]["loss"]
     # error metrics are reported against ground truth
     assert "rot_error_deg" in history[-1]
+
+
+def test_pose_cli_with_triplane_checkpoint(tmp_path):
+    """Pose estimation drives the grid family too: train a triplane via the
+    CLI, then optimize a perturbed pose against its frozen planes — the
+    photometric loss must decrease (bilinear sampling is differentiable in
+    the ray origins/directions)."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir, size=20, n_train=5)
+    cfg_path = _write_config(root, datadir, logdir, N_iters=150, i_print=50,
+                             i_weights=150, N_rand=256,
+                             model_type="triplane", triplane_res=32,
+                             triplane_feat=8, triplane_hidden=16)
+
+    train_run(config_parser().parse_args(["--config", cfg_path]))
+
+    pose, history = pose_main([
+        "--config", cfg_path,
+        "--sampling_strategy", "random",
+        "--batch_size", "256",
+        "--pose_n_steps", "60",
+        "--lrate_relative_pose_estimation", "0.003",
+        "--delta_theta", "4.0",
+        "--delta_t", "0.1",
+    ])
+    assert pose.shape == (4, 4)
+    assert np.isfinite(pose).all()
+    # the grid family's loss surface is piecewise-linear (bilinear planes)
+    # and this tiny-scene loss starts near its floor — assert the POSE
+    # improves rather than the noisy photometric readout
+    assert history[-1]["rot_error_deg"] < history[0]["rot_error_deg"]
+    assert (history[-1]["translation_error"]
+            < history[0]["translation_error"])
