@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--triplane_res", type=int, default=256)
     ap.add_argument("--triplane_feat", type=int, default=16)
     ap.add_argument("--tv", type=float, default=0.0)
+    ap.add_argument("--upsample", type=str, default="",
+                    help="triplane coarse-to-fine milestones 'step:G,...' "
+                         "e.g. '2000:128,6000:256' (hierarchical row only; "
+                         "start resolution = --triplane_res)")
     ap.add_argument("--occ_until", type=int, default=0,
                     help="two-phase schedule: occ-gated until this step, "
                          "then the hierarchical step with the coarse net "
@@ -148,8 +152,41 @@ def main():
         state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))
         state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
                                    lrate=5e-4, lrate_decay=250)
+        # triplane coarse-to-fine: "step:G,step:G" milestones — upsample
+        # the planes, restart the optimizer at the continued schedule step
+        # (fresh_state_at), rebuild the jitted steps + eval for the new G.
+        # Compile time at each milestone counts into the clock, as a real
+        # run would pay it.
+        milestones = []
+        if a.upsample and a.model == "triplane":
+            milestones = sorted(
+                (int(p.split(":")[0]), int(p.split(":")[1]))
+                for p in a.upsample.split(","))
+        hcfg = cfg
         t0 = time.perf_counter()
         for i in range(0, a.steps, inner):
+            while milestones and i >= milestones[0][0]:
+                _, new_G = milestones.pop(0)
+                from nerf_shared_tpu.models.triplane import upsample_triplane
+                from nerf_shared_tpu.train.state import fresh_state_at
+
+                pc, new_cfg = upsample_triplane(state.params["coarse"],
+                                                hcfg, new_G)
+                pf, _ = upsample_triplane(state.params["fine"], hcfg,
+                                          new_G)
+                hcfg = new_cfg
+                state = fresh_state_at({"coarse": pc, "fine": pf},
+                                       int(state.step), lrate=5e-4,
+                                       lrate_decay=250, grid_lrate=2e-2)
+                step = make_fused_train_step(rcfg, hcfg, hcfg, spec,
+                                             inner_steps=inner,
+                                             donate=False, tv_reg=a.tv)
+                step_warm = make_fused_train_step(
+                    _dch.replace(rcfg, raw_noise_std=1.0), hcfg, hcfg,
+                    spec, inner_steps=inner, donate=False, tv_reg=a.tv)
+                eval_psnr = make_eval(images, poses, i_test, hcfg, H, W, K,
+                                      on_tpu)
+                print(f"[UPSAMPLE] step {i}: planes -> {new_G}^3")
             state, aux = (step_warm if i < a.warmup else step)(
                 state, imgs_d, poses_d,
                 jax.random.fold_in(jax.random.PRNGKey(1), i))

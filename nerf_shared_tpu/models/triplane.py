@@ -171,3 +171,23 @@ class Triplane:
     def get_density(self, points, chunk: int = 1024 * 64):
         del chunk  # API parity; XLA needs no host-side chunking
         return get_density(self.params, self.cfg, points)
+
+
+def upsample_triplane(params, cfg: TriplaneConfig, new_G: int):
+    """Coarse-to-fine plane growth (the TensoRF training schedule): start
+    at a low plane resolution — fast steps, smooth optimization landscape —
+    and bilinearly upsample the planes at milestones. The decoder is
+    resolution-independent and carries over unchanged; bilinear resize is
+    value-preserving at cell centers, so the represented field changes only
+    by interpolation smoothness (loss is continuous across the switch).
+
+    Returns (new_params, new_cfg). The caller must rebuild jitted steps
+    (shapes are static under jit) and refresh the optimizer state for the
+    new plane shape (train/state.py:fresh_state_at)."""
+    planes = jax.image.resize(
+        params["planes"], (3, new_G, new_G, params["planes"].shape[-1]),
+        method="linear",
+    )
+    new_params = dict(params)
+    new_params["planes"] = planes
+    return new_params, dataclasses.replace(cfg, G=new_G)

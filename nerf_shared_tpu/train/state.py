@@ -139,3 +139,35 @@ def sync_coarse_from_fine(state: TrainState) -> TrainState:
     new_params = fix(state.params)
     new_opt = jax.tree.map(fix, state.opt_state, is_leaf=is_branch)
     return state.replace(params=new_params, opt_state=new_opt)
+
+
+def fresh_state_at(
+    params: Dict[str, Any],
+    step,
+    lrate: float = 5e-4,
+    lrate_decay: int = 250,
+    grid_lrate: Optional[float] = None,
+) -> TrainState:
+    """TrainState over EXISTING params with a fresh optimizer whose step
+    counters resume at ``step`` — the LR schedule continues instead of
+    resetting. Used after parameter-shape changes mid-run (triplane
+    coarse-to-fine upsampling): Adam moments cannot survive a reshape, so
+    they restart (TensoRF resets its optimizer at every upsample too)."""
+    import jax.numpy as jnp
+
+    tx = make_optimizer(lrate, lrate_decay, grid_lrate=grid_lrate)
+    opt = tx.init(params)
+    count = jnp.asarray(step, jnp.int32)
+
+    def setc(part):
+        if isinstance(part, optax.ScaleByAdamState):
+            return part._replace(count=jnp.array(count, copy=True))
+        if isinstance(part, optax.ScaleByScheduleState):
+            return part._replace(count=jnp.array(count, copy=True))
+        return part
+
+    is_stateful = lambda x: isinstance(  # noqa: E731
+        x, (optax.ScaleByAdamState, optax.ScaleByScheduleState)
+    )
+    opt = jax.tree_util.tree_map(setc, opt, is_leaf=is_stateful)
+    return TrainState(step=count, params=params, opt_state=opt, tx=tx)

@@ -22,7 +22,8 @@ q "2/4 done rc=$?"
 q "3/4 triplane ttq (hard scene, both trainers, 20k steps)"
 timeout 7200 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
   --steps 20000 --eval_every 1000 --warmup 2000 --precrop_iters 500 \
-  --model triplane --tv 1e-4 \
+  --model triplane --tv 1e-4 --triplane_res 128 \
+  --upsample 3000:192,8000:256 \
   --log benchmarks/ttq_hard_triplane.jsonl > /tmp/ttq_triplane.out 2>&1
 q "3/4 done rc=$?"
 

@@ -276,3 +276,35 @@ def test_froxel_render_with_triplane():
                                       retraw=False)
     np.testing.assert_allclose(np.asarray(ret["rgb_map"]), np.asarray(rgb),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_upsample_preserves_field_and_counts():
+    """Coarse-to-fine: bilinear plane upsampling approximately preserves
+    the decoded field (interpolation smoothing only), and fresh_state_at
+    resumes the LR schedule counters instead of resetting them."""
+    import optax
+
+    from nerf_shared_tpu.models.triplane import upsample_triplane
+    from nerf_shared_tpu.train.state import fresh_state_at
+
+    cfg = _cfg(G=8, aabb_min=(-2.0,) * 3, aabb_max=(2.0,) * 3)
+    m = Triplane.create(jax.random.PRNGKey(0), cfg)
+    p2, cfg2 = upsample_triplane(m.params, cfg, 16)
+    assert p2["planes"].shape == (3, 16, 16, 4) and cfg2.G == 16
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 6, 3),
+                             minval=-1.5, maxval=1.5)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+    a = apply_triplane(m.params, cfg, pts, dirs)
+    b = apply_triplane(p2, cfg2, pts, dirs)
+    assert float(jnp.abs(a - b).max()) < 0.15
+
+    st = fresh_state_at({"coarse": p2, "fine": p2}, 500, lrate=5e-3,
+                        lrate_decay=250, grid_lrate=2e-2)
+    assert int(st.step) == 500
+    parts = [p for p in jax.tree_util.tree_leaves(
+        st.opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+        if isinstance(p, optax.ScaleByAdamState)]
+    assert len(parts) == 2 and all(int(p.count) == 500 for p in parts)
+    st2 = st.apply_gradients(jax.tree.map(jnp.ones_like, st.params))
+    assert int(st2.step) == 501
