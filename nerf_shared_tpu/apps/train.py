@@ -133,6 +133,7 @@ def train(args):
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
     state, start = ckpt_utils.load_checkpoint(state, args)
+    ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     renderer = get_renderer(args, ds.bds_dict)
 
     n_dev = len(jax.devices())
@@ -311,6 +312,7 @@ def train(args):
     # pixels all-gathered) — a single-device hook program would leave
     # n-1 chips idle on real pods
     sharded_hook = None
+    _mk_dense_hook = None
     if mesh is not None and fcfg is not None and (
         occ_maint is not None or train_occ
     ):
@@ -368,21 +370,41 @@ def train(args):
             return render_one
     elif mesh is not None:
         # no occupancy source: hooks render DENSE but still sharded — the
-        # rays split over 'data' and the pixels all-gather
+        # rays split over 'data' and the pixels all-gather. Built through a
+        # maker so a triplane upsample milestone can rebuild it for the new
+        # plane shapes.
         from nerf_shared_tpu.parallel.render import make_sharded_pose_render
 
-        _dense_sh = make_sharded_pose_render(
-            mesh, renderer.cfg, ccfg, fcfg, H, W,
-        )
+        def _mk_dense_hook(ccfg_h, fcfg_h):
+            _dense_sh = make_sharded_pose_render(
+                mesh, renderer.cfg, ccfg_h, fcfg_h, H, W,
+            )
 
-        def sharded_hook(state, step):
-            def render_one(c2w, k):
-                return _dense_sh(
-                    state.params["coarse"], state.params.get("fine"),
-                    ds.K, c2w, k,
-                )["rgb_map"]
+            def sharded_hook(state, step):
+                def render_one(c2w, k):
+                    return _dense_sh(
+                        state.params["coarse"], state.params.get("fine"),
+                        ds.K, c2w, k,
+                    )["rgb_map"]
 
-            return render_one
+                return render_one
+
+            return sharded_hook
+
+        sharded_hook = _mk_dense_hook(ccfg, fcfg)
+
+    # triplane coarse-to-fine milestones (--triplane_upsample): planes
+    # bilinearly upsample mid-run; the jitted step (static shapes) and the
+    # dense sharded hook rebuild, and the optimizer restarts at the
+    # continued LR-schedule count (train/state.py fresh_state_at).
+    # Milestones already inside the resumed checkpoint are skipped
+    # (_sync_triplane_res adopted their resolution at load).
+    upsample_ms = _upsample_milestones(args, start)
+    if upsample_ms and train_occ:
+        raise SystemExit("--triplane_upsample is standard-trainer only; "
+                         "combine with --train_occ is not supported")
+    upsample_ms = [(st_, g) for st_, g in upsample_ms
+                   if getattr(ccfg, "G", 1 << 30) < g]
 
     key = jax.random.PRNGKey(args.jax_seed)
     N_iters = args.N_iters + 1
@@ -408,6 +430,34 @@ def train(args):
     t0 = time.perf_counter()
     rays_done = 0
     while i < N_iters:
+        while upsample_ms and i > upsample_ms[0][0]:
+            from nerf_shared_tpu.models.triplane import upsample_triplane
+            from nerf_shared_tpu.train.state import fresh_state_at
+
+            _, new_G = upsample_ms.pop(0)
+            pc, ccfg = upsample_triplane(state.params["coarse"], ccfg,
+                                         new_G)
+            params_up = {"coarse": pc}
+            if "fine" in state.params:
+                pf, fcfg = upsample_triplane(state.params["fine"], fcfg,
+                                             new_G)
+                params_up["fine"] = pf
+            state = fresh_state_at(
+                params_up, int(jax.device_get(state.step)),
+                lrate=args.lrate, lrate_decay=args.lrate_decay,
+                grid_lrate=float(getattr(args, "grid_lrate", 2e-2)),
+            )
+            if mesh is not None:
+                state = replicate(mesh, state)
+            step_fn = make_fused_train_step(
+                rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
+                acc_reg=getattr(args, "acc_loss_weight", 0.0),
+                tv_reg=getattr(args, "tv_loss_weight", 0.0),
+            )
+            if _mk_dense_hook is not None:
+                sharded_hook = _mk_dense_hook(ccfg, fcfg)
+            print(f"[UPSAMPLE] step {i - 1}: planes -> {new_G}^2 "
+                  "(optimizer restarted at the continued schedule)")
         if occ_until > 0 and not _phase["switched"] and i > occ_until:
             from nerf_shared_tpu.train.state import sync_coarse_from_fine
 
@@ -534,6 +584,38 @@ def train(args):
     return state
 
 
+def _sync_triplane_res(state, ccfg, fcfg):
+    """After checkpoint load, adopt the LOADED plane resolution into the
+    configs: a resume after coarse-to-fine upsampling carries bigger planes
+    than --triplane_res, and cfg.G drives the sampling-coordinate scale —
+    a mismatch decodes wrong world coordinates. No-op for the MLP family
+    and for matching resolutions. Returns (ccfg, fcfg)."""
+    import dataclasses as _d
+
+    pc = state.params.get("coarse")
+    if not (isinstance(pc, dict) and "planes" in pc):
+        return ccfg, fcfg
+    g = int(pc["planes"].shape[1])
+    if getattr(ccfg, "G", g) != g:
+        print(f"triplane resolution from checkpoint: {g}^2 planes")
+        ccfg = _d.replace(ccfg, G=g)
+        if fcfg is not None:
+            fcfg = _d.replace(fcfg, G=g)
+    return ccfg, fcfg
+
+
+def _upsample_milestones(args, start):
+    """Parse --triplane_upsample 'step:G,...' into the not-yet-applied
+    milestones (sorted; those at or before the resume step are assumed
+    already applied — the checkpoint carries their resolution)."""
+    spec = getattr(args, "triplane_upsample", "")
+    if not spec or getattr(args, "model_type", "nerf") != "triplane":
+        return []
+    ms = sorted((int(p.split(":")[0]), int(p.split(":")[1]))
+                for p in spec.split(","))
+    return [(s, g) for s, g in ms if s > start]
+
+
 def _resolve_triplane_aabb(args, ds, H, W):
     """Fill args.triplane_aabb (when 0 = auto) the SAME way in every entry
     point: triplane params are decoded against this box, so training and
@@ -573,6 +655,7 @@ def render_only(args):
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
     state, start = ckpt_utils.load_checkpoint(state, args)
+    ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     renderer = get_renderer(args, ds.bds_dict)
     coarse, fine = _models_from_state(state, ccfg, fcfg)
 

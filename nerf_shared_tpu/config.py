@@ -220,6 +220,15 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--triplane_aabb", type=float, default=0.0,
                         help='triplane: scene half-extent (cube). 0 = auto '
                              'from the camera frustums at load time')
+    parser.add_argument("--triplane_upsample", type=str, default="",
+                        help="triplane coarse-to-fine schedule: comma list "
+                             "of step:G milestones (e.g. '3000:192,"
+                             "8000:256'); planes bilinearly upsample and "
+                             "the optimizer restarts at the continued LR "
+                             "schedule. Standard trainer only (not "
+                             "--train_occ). Start resolution = "
+                             "--triplane_res; resume infers the current "
+                             "resolution from the checkpoint")
     parser.add_argument("--tv_loss_weight", type=float, default=0.0,
                         help='total-variation smoothness weight over grid-'
                              'family feature planes (TensoRF/DVGO '

@@ -425,6 +425,49 @@ def test_e2e_triplane_cli(tmp_path, capsys):
     assert np.isfinite(img).all()
 
 
+def test_e2e_triplane_upsample_cli(tmp_path, capsys):
+    """--triplane_upsample: planes grow at milestones mid-run, a resume
+    adopts the checkpoint's resolution (already-applied milestones skip),
+    and render_only decodes at the trained resolution."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
+        model_type="triplane", triplane_res=8, triplane_feat=4,
+        triplane_hidden=8, triplane_upsample="8:12", chunk=256,
+        precrop_iters=0,
+    )
+    run(config_parser().parse_args(["--config", cfg_path]))
+    out = capsys.readouterr().out
+    assert "planes -> 12^2" in out
+
+    import numpy as np_
+
+    ck = np_.load(os.path.join(logdir, "tiny_e2e", "000016.ckpt.npz"))
+    plane_keys = [k for k in ck.files if "planes" in k]
+    assert plane_keys and ck[plane_keys[0]].shape[1] == 12
+
+    # resume: milestone at 8 is already inside the checkpoint — it must
+    # NOT re-fire; the resolution comes from the checkpoint
+    run(config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "24", "--i_weights", "24"]
+    ))
+    out = capsys.readouterr().out
+    assert "triplane resolution from checkpoint: 12" in out
+    assert "planes -> 12^2" not in out
+
+    outdir = render_only(config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256"]
+    ))
+    out = capsys.readouterr().out
+    assert "triplane resolution from checkpoint: 12" in out
+    assert len(glob.glob(os.path.join(outdir, "*.png"))) == 2
+
+
 def test_e2e_two_phase_schedule(tmp_path, capsys):
     """--train_occ_until: occ-gated phase, then the hierarchical trainer
     with the coarse branch seeded from the trained fine net. The switch
