@@ -119,6 +119,9 @@ def main(argv=None):
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
     state, start = ckpt_utils.load_checkpoint(state, args)
+    from nerf_shared_tpu.apps.train import _sync_triplane_res
+
+    ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     if start == 0:
         print("warning: no checkpoint found; optimizing against a random NeRF")
     renderer = get_renderer(args, ds.bds_dict)
