@@ -167,6 +167,9 @@ def main():
         for i in range(0, a.steps, inner):
             while milestones and i >= milestones[0][0]:
                 _, new_G = milestones.pop(0)
+                if new_G <= hcfg.G:
+                    print(f"[UPSAMPLE] skip {new_G}^2 (already {hcfg.G}^2)")
+                    continue
                 from nerf_shared_tpu.models.triplane import upsample_triplane
                 from nerf_shared_tpu.train.state import fresh_state_at
 
@@ -186,7 +189,7 @@ def main():
                     spec, inner_steps=inner, donate=False, tv_reg=a.tv)
                 eval_psnr = make_eval(images, poses, i_test, hcfg, H, W, K,
                                       on_tpu)
-                print(f"[UPSAMPLE] step {i}: planes -> {new_G}^3")
+                print(f"[UPSAMPLE] step {i}: planes -> {new_G}^2")
             state, aux = (step_warm if i < a.warmup else step)(
                 state, imgs_d, poses_d,
                 jax.random.fold_in(jax.random.PRNGKey(1), i))
@@ -200,6 +203,10 @@ def main():
         results["hierarchical"] = rec
 
     # ---- occupancy-gated trainer ----
+    # the hierarchical section may have rebound eval_psnr to an upsampled
+    # cfg; the occ trainer keeps the ORIGINAL cfg/planes — rebuild the eval
+    # to match or every occ-row PSNR decodes with a mismatched cfg.G
+    eval_psnr = make_eval(images, poses, i_test, cfg, H, W, K, on_tpu)
     rcfg_o = RenderConfig(N_samples=a.candidates, N_importance=0, near=NEAR,
                           far=FAR, use_viewdirs=True, white_bkgd=True,
                           perturb=1.0, fused_backward=on_tpu,

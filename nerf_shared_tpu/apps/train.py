@@ -313,6 +313,7 @@ def train(args):
     # n-1 chips idle on real pods
     sharded_hook = None
     _mk_dense_hook = None
+    _mk_occ_hook = None
     if mesh is not None and fcfg is not None and (
         occ_maint is not None or train_occ
     ):
@@ -325,49 +326,57 @@ def train(args):
             renderer.cfg, perturb=0.0, raw_noise_std=0.0,
             use_pallas=False, fused_backward=False,
         )
-        _sh_fn = make_sharded_render_froxel(
-            mesh, eval_rcfg, fcfg, H, W, tile=args.occ_tile,
-            n_keep=args.occ_keep,
-        )
-        _dense_sh2 = None
-        if occ_until > 0:
-            # post-switch hooks have no occ source; keep them sharded
-            from nerf_shared_tpu.parallel.render import (
-                make_sharded_pose_render,
+
+        # built through a maker so triplane upsample milestones can rebuild
+        # the jitted sharded renderers for the new plane shapes
+        def _mk_occ_hook(ccfg_h, fcfg_h):
+            _sh_fn = make_sharded_render_froxel(
+                mesh, eval_rcfg, fcfg_h, H, W, tile=args.occ_tile,
+                n_keep=args.occ_keep,
             )
+            _dense_sh2 = None
+            if occ_until > 0:
+                # post-switch hooks have no occ source; keep them sharded
+                from nerf_shared_tpu.parallel.render import (
+                    make_sharded_pose_render,
+                )
 
-            _dense_sh2 = make_sharded_pose_render(
-                mesh, renderer.cfg, ccfg, fcfg, H, W,
-            )
+                _dense_sh2 = make_sharded_pose_render(
+                    mesh, renderer.cfg, ccfg_h, fcfg_h, H, W,
+                )
 
-        def sharded_hook(state, step):
-            occ_g = _occ_for(state, step)
-            if occ_g is None:
-                if _dense_sh2 is None:
-                    return None
+            def sharded_hook(state, step):
+                occ_g = _occ_for(state, step)
+                if occ_g is None:
+                    if _dense_sh2 is None:
+                        return None
 
-                def render_dense(c2w, k):
-                    return _dense_sh2(
-                        state.params["coarse"], state.params.get("fine"),
-                        ds.K, c2w, k,
+                    def render_dense(c2w, k):
+                        return _dense_sh2(
+                            state.params["coarse"], state.params.get("fine"),
+                            ds.K, c2w, k,
+                        )["rgb_map"]
+
+                    return render_dense
+
+                def render_one(c2w, k):
+                    fro = build_froxels(
+                        occ_g, H, W, ds.K, c2w, float(eval_rcfg.near),
+                        float(eval_rcfg.far), n_depth=args.occ_candidates,
+                        tile=args.occ_tile, ndc=eval_rcfg.ndc,
+                        lindisp=eval_rcfg.lindisp,
+                    )
+                    if k is None:
+                        k = jax.random.PRNGKey(0)
+                    return _sh_fn(
+                        state.params["fine"], fro, ds.K, c2w, k
                     )["rgb_map"]
 
-                return render_dense
+                return render_one
 
-            def render_one(c2w, k):
-                fro = build_froxels(
-                    occ_g, H, W, ds.K, c2w, float(eval_rcfg.near),
-                    float(eval_rcfg.far), n_depth=args.occ_candidates,
-                    tile=args.occ_tile, ndc=eval_rcfg.ndc,
-                    lindisp=eval_rcfg.lindisp,
-                )
-                if k is None:
-                    k = jax.random.PRNGKey(0)
-                return _sh_fn(
-                    state.params["fine"], fro, ds.K, c2w, k
-                )["rgb_map"]
+            return sharded_hook
 
-            return render_one
+        sharded_hook = _mk_occ_hook(ccfg, fcfg)
     elif mesh is not None:
         # no occupancy source: hooks render DENSE but still sharded — the
         # rays split over 'data' and the pixels all-gather. Built through a
@@ -403,8 +412,6 @@ def train(args):
     if upsample_ms and train_occ:
         raise SystemExit("--triplane_upsample is standard-trainer only; "
                          "combine with --train_occ is not supported")
-    upsample_ms = [(st_, g) for st_, g in upsample_ms
-                   if getattr(ccfg, "G", 1 << 30) < g]
 
     key = jax.random.PRNGKey(args.jax_seed)
     N_iters = args.N_iters + 1
@@ -435,6 +442,12 @@ def train(args):
             from nerf_shared_tpu.train.state import fresh_state_at
 
             _, new_G = upsample_ms.pop(0)
+            if new_G <= getattr(ccfg, "G", 1 << 30):
+                # already at (or past) this resolution — resumed past the
+                # milestone, or a non-monotone schedule; never DOWNSAMPLE
+                print(f"[UPSAMPLE] skip {new_G}^2: planes already "
+                      f"{ccfg.G}^2")
+                continue
             pc, ccfg = upsample_triplane(state.params["coarse"], ccfg,
                                          new_G)
             params_up = {"coarse": pc}
@@ -456,6 +469,21 @@ def train(args):
             )
             if _mk_dense_hook is not None:
                 sharded_hook = _mk_dense_hook(ccfg, fcfg)
+            if _mk_occ_hook is not None:
+                sharded_hook = _mk_occ_hook(ccfg, fcfg)
+            if occ_maint is not None:
+                # the maintainer captured the old fcfg at construction —
+                # rebuild it or hook renders decode stale coordinates
+                from nerf_shared_tpu.render.occupancy import (
+                    OccupancyMaintainer,
+                )
+
+                lo_m, hi_m = _occ_aabb(renderer, ds, H, W, ds.K)
+                occ_maint = OccupancyMaintainer(
+                    renderer.cfg, fcfg, lo_m, hi_m,
+                    resolution=args.occ_grid,
+                    alpha_threshold=args.occ_alpha_thresh,
+                )
             print(f"[UPSAMPLE] step {i - 1}: planes -> {new_G}^2 "
                   "(optimizer restarted at the continued schedule)")
         if occ_until > 0 and not _phase["switched"] and i > occ_until:
@@ -613,7 +641,10 @@ def _upsample_milestones(args, start):
         return []
     ms = sorted((int(p.split(":")[0]), int(p.split(":")[1]))
                 for p in spec.split(","))
-    return [(s, g) for s, g in ms if s > start]
+    # a milestone at exactly ``start`` has NOT fired yet (milestones fire
+    # at i > s, checkpoints land at dispatch ends), so keep it; genuinely
+    # applied milestones are skipped by the monotone guard in the loop
+    return [(s, g) for s, g in ms if s >= start]
 
 
 def _resolve_triplane_aabb(args, ds, H, W):

@@ -160,8 +160,10 @@ def fresh_state_at(
     count = jnp.asarray(step, jnp.int32)
 
     def setc(part):
-        if isinstance(part, optax.ScaleByAdamState):
-            return part._replace(count=jnp.array(count, copy=True))
+        # ONLY the LR-schedule counter continues; Adam's own count must
+        # restart at 0 with the zeroed moments — count=step would disable
+        # bias correction (1-b1^step ~= 1) and shrink the first updates to
+        # ~0.32x right when the new parameters need to train
         if isinstance(part, optax.ScaleByScheduleState):
             return part._replace(count=jnp.array(count, copy=True))
         return part

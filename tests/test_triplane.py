@@ -301,10 +301,17 @@ def test_upsample_preserves_field_and_counts():
     st = fresh_state_at({"coarse": p2, "fine": p2}, 500, lrate=5e-3,
                         lrate_decay=250, grid_lrate=2e-2)
     assert int(st.step) == 500
-    parts = [p for p in jax.tree_util.tree_leaves(
+    # LR-schedule counters continue at 500; Adam's own counts restart at 0
+    # (bias correction must re-engage with the zeroed moments)
+    adams = [p for p in jax.tree_util.tree_leaves(
         st.opt_state,
         is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
         if isinstance(p, optax.ScaleByAdamState)]
-    assert len(parts) == 2 and all(int(p.count) == 500 for p in parts)
+    assert len(adams) == 2 and all(int(p.count) == 0 for p in adams)
+    scheds = [p for p in jax.tree_util.tree_leaves(
+        st.opt_state,
+        is_leaf=lambda x: isinstance(x, optax.ScaleByScheduleState))
+        if isinstance(p, optax.ScaleByScheduleState)]
+    assert scheds and all(int(p.count) == 500 for p in scheds)
     st2 = st.apply_gradients(jax.tree.map(jnp.ones_like, st.params))
     assert int(st2.step) == 501
