@@ -468,6 +468,35 @@ def test_e2e_triplane_upsample_cli(tmp_path, capsys):
     assert len(glob.glob(os.path.join(outdir, "*.png"))) == 2
 
 
+def test_e2e_triplane_upsample_with_occ_hooks(tmp_path, capsys):
+    """--triplane_upsample + --occ_grid on the 8-device mesh: the milestone
+    must rebuild the OccupancyMaintainer and the sharded froxel hook for
+    the new plane shapes (they capture fcfg at construction), so the
+    post-milestone i_testset render still works and is finite."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
+        i_testset=16, model_type="triplane", triplane_res=8,
+        triplane_feat=4, triplane_hidden=8, triplane_upsample="8:12",
+        occ_grid=8, occ_candidates=16, occ_keep=8, chunk=256,
+        precrop_iters=0,
+    )
+    run(config_parser().parse_args(["--config", cfg_path]))
+    out = capsys.readouterr().out
+    assert "planes -> 12^2" in out
+    pngs = glob.glob(os.path.join(logdir, "tiny_e2e", "testset_000016",
+                                  "*.png"))
+    assert len(pngs) == 2
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
+
+
 def test_e2e_two_phase_schedule(tmp_path, capsys):
     """--train_occ_until: occ-gated phase, then the hierarchical trainer
     with the coarse branch seeded from the trained fine net. The switch
