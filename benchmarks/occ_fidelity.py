@@ -65,6 +65,13 @@ def main():
                          "transparency-trap escape; required on the hard "
                          "scene at 400p)")
     ap.add_argument("--precrop_iters", type=int, default=0)
+    ap.add_argument("--model", type=str, default="nerf",
+                    choices=("nerf", "triplane"),
+                    help="model family to train the scene with; the "
+                         "occ/froxel fidelity question is about the GRID + "
+                         "selection policy, so the CPU-feasible triplane "
+                         "gives the same sweep when the TPU (needed for "
+                         "the 8x256 MLP) is unavailable")
     ap.add_argument("--log", type=str, default=None,
                     help="append result JSON lines to this file")
     a = ap.parse_args()
@@ -85,9 +92,16 @@ def main():
         images, poses, K, H, W, i_train, i_test = make_hard(size=a.train_size)
     else:
         images, poses, K, H, W, i_train, i_test = make_scene(size=a.train_size)
-    cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
-                     multires_views=4, skips=(4,))
-    fused = jax.default_backend() == "tpu"
+    if a.model == "triplane":
+        from nerf_shared_tpu.models.triplane import TriplaneConfig
+
+        cfg = TriplaneConfig(G=128, C=16, aabb_min=(-5.5,) * 3,
+                             aabb_max=(5.5,) * 3)
+        fused = False  # grid family trains via XLA autodiff
+    else:
+        cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
+                         multires_views=4, skips=(4,))
+        fused = jax.default_backend() == "tpu"
     rcfg_train = RenderConfig(
         N_samples=64, N_importance=128, near=NEAR, far=FAR,
         use_viewdirs=True, white_bkgd=True, perturb=1.0,
@@ -185,7 +199,7 @@ def main():
             name = f"froxel C={C} K={Kp}{' corners' if corners else ''}{tag}"
             results[name] = (p, t)
             emit({"path": name, "psnr_vs_dense_db": round(p, 2),
-                  "s_per_frame": round(t, 4)})
+                  "s_per_frame": round(t, 4), "model": a.model})
 
     best = {k: v for k, v in results.items() if v[0] >= 30.0}
     emit({
