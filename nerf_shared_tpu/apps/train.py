@@ -658,15 +658,17 @@ def _resolve_triplane_aabb(args, ds, H, W):
             or getattr(args, "triplane_aabb", 0.0)):
         return
     if args.dataset_type == "llff" and not args.no_ndc:
-        args.triplane_aabb = 1.5
-    else:
-        from nerf_shared_tpu.render.occupancy import aabb_from_poses
+        # NDC: factory.nerf_configs picks the asymmetric NDC box itself
+        # (deterministic from flags, so every entry point agrees)
+        print("triplane aabb half-extent: NDC cube")
+        return
+    from nerf_shared_tpu.render.occupancy import aabb_from_poses
 
-        lo, hi = aabb_from_poses(
-            H, W, ds.K, ds.poses[ds.i_train],
-            float(ds.bds_dict["near"]), float(ds.bds_dict["far"]),
-        )
-        args.triplane_aabb = float(max(np.abs(lo).max(), np.abs(hi).max()))
+    lo, hi = aabb_from_poses(
+        H, W, ds.K, ds.poses[ds.i_train],
+        float(ds.bds_dict["near"]), float(ds.bds_dict["far"]),
+    )
+    args.triplane_aabb = float(max(np.abs(lo).max(), np.abs(hi).max()))
     print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
 
 

@@ -23,7 +23,17 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
     if getattr(args, "model_type", "nerf") == "triplane":
         from nerf_shared_tpu.models.triplane import TriplaneConfig
 
-        half = float(getattr(args, "triplane_aabb", 0.0)) or 4.5
+        if (getattr(args, "dataset_type", "") == "llff"
+                and not getattr(args, "no_ndc", True)):
+            # NDC scenes: the model is trained on NDC points, which live in
+            # [-1,1]^2 x [0,1] — an asymmetric box (same margins as
+            # apps/train._occ_aabb) instead of wasting half the z planes
+            aabb_min = (-1.05, -1.05, -0.001)
+            aabb_max = (1.05, 1.05, 1.001)
+        else:
+            half = float(getattr(args, "triplane_aabb", 0.0)) or 4.5
+            aabb_min = (-half,) * 3
+            aabb_max = (half,) * 3
         tcfg = TriplaneConfig(
             G=args.triplane_res,
             C=args.triplane_feat,
@@ -32,8 +42,8 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
             use_viewdirs=args.use_viewdirs,
             multires_views=args.multires_views,
             i_embed=args.i_embed,
-            aabb_min=(-half,) * 3,
-            aabb_max=(half,) * 3,
+            aabb_min=aabb_min,
+            aabb_max=aabb_max,
         )
         # same config for both branches: the hierarchy (when N_importance
         # > 0) importance-samples from an identical coarse triplane

@@ -203,17 +203,15 @@ def test_render_factor_downsamples(tmp_path):
     assert img.shape[:2] == (8, 8)  # 16/2
 
 
-def test_e2e_llff_ndc_batching_mode(tmp_path):
-    """LLFF scene through the CLI: NDC rays + use_batching sampling (the
-    reference fern recipe shape, configs/fern.txt)."""
+def _write_llff_scene(root, n=6, size=16):
+    """Tiny LLFF-format scene fixture: images/ + poses_bounds.npy with a
+    forward-facing pose cluster (the fern recipe's data shape)."""
     from nerf_shared_tpu.data.poses import view_matrix
 
-    root = str(tmp_path)
     datadir = os.path.join(root, "scene")
     imgdir = os.path.join(datadir, "images")
     os.makedirs(imgdir)
     rng = np.random.default_rng(0)
-    n, size = 6, 16
     poses = []
     for i in range(n):
         imwrite_u8(
@@ -230,6 +228,14 @@ def test_e2e_llff_ndc_batching_mode(tmp_path):
     bds = np.stack([np.full(n, 1.5), np.full(n, 7.0)], -1)
     arr = np.concatenate([poses.reshape(n, -1), bds], axis=1)
     np.save(os.path.join(datadir, "poses_bounds.npy"), arr)
+    return datadir
+
+
+def test_e2e_llff_ndc_batching_mode(tmp_path):
+    """LLFF scene through the CLI: NDC rays + use_batching sampling (the
+    reference fern recipe shape, configs/fern.txt)."""
+    root = str(tmp_path)
+    datadir = _write_llff_scene(root)
 
     cfg = os.path.join(root, "llff.txt")
     with open(cfg, "w") as f:
@@ -466,6 +472,62 @@ def test_e2e_triplane_upsample_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "triplane resolution from checkpoint: 12" in out
     assert len(glob.glob(os.path.join(outdir, "*.png"))) == 2
+
+
+def test_e2e_triplane_llff_ndc(tmp_path, capsys):
+    """--model_type triplane on an LLFF/NDC scene: the planes live in the
+    asymmetric NDC box ([-1,1]^2 x [0,1], factory picks it from the flags),
+    training runs, and render_only produces finite NDC renders."""
+    root = str(tmp_path)
+    datadir = _write_llff_scene(root)
+    cfg = os.path.join(root, "llff.txt")
+    with open(cfg, "w") as f:
+        f.write("\n".join([
+            "expname = llff_tri",
+            f"basedir = {os.path.join(root, 'logs')}",
+            f"datadir = {datadir}",
+            "dataset_type = llff",
+            "training = True",
+            "factor = 1",
+            "llffhold = 3",
+            "use_viewdirs = True",
+            "N_samples = 8",
+            "N_importance = 8",
+            "N_rand = 64",
+            "model_type = triplane",
+            "triplane_res = 16",
+            "triplane_feat = 4",
+            "triplane_hidden = 8",
+            "multires_views = 2",
+            "N_iters = 16",
+            "i_print = 8",
+            "i_weights = 16",
+            "i_testset = 0",
+            "i_img = 0",
+            "i_video = 0",
+        ]) + "\n")
+    run(config_parser().parse_args(["--config", cfg]))
+    out = capsys.readouterr().out
+    assert "NDC cube" in out
+    expdir = os.path.join(root, "logs", "llff_tri")
+    assert glob.glob(os.path.join(expdir, "*.ckpt.npz"))
+
+    from nerf_shared_tpu.factory import nerf_configs
+
+    args = config_parser().parse_args(["--config", cfg])
+    ccfg, _ = nerf_configs(args)
+    assert ccfg.aabb_min == (-1.05, -1.05, -0.001)
+
+    outdir = render_only(config_parser().parse_args(
+        ["--config", cfg, "--render_only", "--render_test",
+         "--chunk", "256"]
+    ))
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert pngs
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
 
 
 def test_e2e_triplane_upsample_with_occ_hooks(tmp_path, capsys):
