@@ -474,6 +474,34 @@ def test_e2e_triplane_upsample_cli(tmp_path, capsys):
     assert len(glob.glob(os.path.join(outdir, "*.png"))) == 2
 
 
+def test_e2e_triplane_train_occ(tmp_path):
+    """--model_type triplane + --train_occ: the occupancy-gated trainer
+    drives the grid family (fine-only K-sample training, grid refreshed
+    per dispatch), checkpoints write, and the testset hook renders through
+    the training grid."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
+        i_testset=16, model_type="triplane", triplane_res=16,
+        triplane_feat=4, triplane_hidden=8, train_occ=True,
+        train_occ_res=8, train_occ_candidates=12, train_occ_keep=6,
+        precrop_iters=0, chunk=256,
+    )
+    run(config_parser().parse_args(["--config", cfg_path]))
+    expdir = os.path.join(logdir, "tiny_e2e")
+    assert glob.glob(os.path.join(expdir, "000016.ckpt.npz"))
+    pngs = glob.glob(os.path.join(expdir, "testset_000016", "*.png"))
+    assert len(pngs) == 2
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
+
+
 def test_e2e_triplane_llff_ndc(tmp_path, capsys):
     """--model_type triplane on an LLFF/NDC scene: the planes live in the
     asymmetric NDC box ([-1,1]^2 x [0,1], factory picks it from the flags),
