@@ -1,0 +1,115 @@
+"""Mesh-export CLI: extract a triangle mesh from a trained radiance field.
+
+Usage:
+    python -m nerf_shared_tpu.apps.mesh_cli --config configs/lego.txt \
+        [--mesh_res 256] [--mesh_iso 50] [--mesh_out path.obj|.ply]
+
+The reference (stanford-iprl-lab/nerf_shared) has no geometry export; the
+original NeRF release shipped it as the ``extract_mesh`` notebook. This CLI
+is that product surface for this framework: it reuses the training config
+parser (so the same ``--config`` works), loads the newest checkpoint through
+the standard resume path (both model families, triplane coarse-to-fine
+resolutions included), probes sigma on device, and isosurfaces on host
+(ops/meshing.py).
+
+Note on NDC scenes (LLFF without --no_ndc): the field is trained in NDC
+space, so the mesh comes out in NDC coordinates — geometrically valid but
+perspectively warped relative to the world.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from nerf_shared_tpu.config import ConfigArgumentParser, config_parser
+
+
+def extend_parser_for_mesh(parser: ConfigArgumentParser) -> ConfigArgumentParser:
+    parser.add_argument("--mesh_res", type=int, default=256,
+                        help="lattice resolution (cubes per axis)")
+    parser.add_argument("--mesh_iso", type=float, default=50.0,
+                        help="iso level on raw (pre-ReLU) sigma; the original"
+                             " NeRF export convention is 50")
+    parser.add_argument("--mesh_out", type=str, default="",
+                        help="output path (.obj or .ply); default"
+                             " <basedir>/<expname>/mesh_<step>.obj")
+    parser.add_argument("--mesh_aabb", type=float, default=0.0,
+                        help="half-extent of a cube probe volume; 0 = auto"
+                             " (NDC box for NDC scenes, else the camera-"
+                             "frustum hull of the training poses)")
+    parser.add_argument("--mesh_block", type=int, default=65536,
+                        help="points per device probe dispatch")
+    return parser
+
+
+def mesh_aabb(args, renderer, ds, H, W):
+    """Probe volume: explicit cube, NDC box, or the training-pose frustum
+    hull — the same rules the occupancy grid uses (apps/train._occ_aabb) so
+    the export sees exactly the region the model was trained on."""
+    if args.mesh_aabb > 0:
+        h = float(args.mesh_aabb)
+        return (np.array([-h, -h, -h], np.float32),
+                np.array([h, h, h], np.float32))
+    if renderer.cfg.ndc:
+        return (np.array([-1.05, -1.05, -0.001], np.float32),
+                np.array([1.05, 1.05, 1.001], np.float32))
+    from nerf_shared_tpu.render.occupancy import aabb_from_poses
+
+    return aabb_from_poses(
+        H, W, ds.K, ds.poses[ds.i_train],
+        renderer.cfg.near, renderer.cfg.far,
+    )
+
+
+def run_mesh(args):
+    from nerf_shared_tpu.apps.train import (
+        _resolve_triplane_aabb,
+        _sync_triplane_res,
+    )
+    from nerf_shared_tpu.data.datasets import load_datasets
+    from nerf_shared_tpu.factory import get_renderer, get_train_state, nerf_configs
+    from nerf_shared_tpu.ops.meshing import extract_mesh, save_mesh
+    from nerf_shared_tpu.utils import checkpoints as ckpt_utils
+
+    ds = load_datasets(args)
+    H, W, _ = ds.hwf
+    _resolve_triplane_aabb(args, ds, H, W)
+    ccfg, fcfg = nerf_configs(args)
+    state = get_train_state(args)
+    state, start = ckpt_utils.load_checkpoint(state, args)
+    ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
+    if start == 0:
+        print("warning: no checkpoint found; meshing a random field")
+    renderer = get_renderer(args, ds.bds_dict)
+
+    # sigma comes from the model the renderer composites with: fine if the
+    # hierarchy is on, else coarse
+    params = state.params.get("fine", state.params["coarse"])
+    cfg = fcfg if (fcfg is not None and "fine" in state.params) else ccfg
+
+    lo, hi = mesh_aabb(args, renderer, ds, H, W)
+    print(f"probing sigma on a {args.mesh_res}^3 lattice over "
+          f"[{np.asarray(lo).round(2)}, {np.asarray(hi).round(2)}]")
+    verts, faces = extract_mesh(
+        params, cfg, renderer.cfg, lo, hi,
+        resolution=args.mesh_res, iso=args.mesh_iso, block=args.mesh_block,
+    )
+
+    out = args.mesh_out or os.path.join(
+        args.basedir, args.expname, f"mesh_{start:06d}.obj")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_mesh(out, verts, faces)
+    print(f"wrote {out}: {len(verts)} vertices, {len(faces)} faces "
+          f"(iso={args.mesh_iso})")
+    return out, verts, faces
+
+
+def main(argv=None):
+    args = extend_parser_for_mesh(config_parser()).parse_args(argv)
+    return run_mesh(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,328 @@
+"""Mesh extraction from a trained density field.
+
+The reference (stanford-iprl-lab/nerf_shared) has no geometry-export
+surface; the original NeRF release shipped it as the `extract_mesh`
+notebook (bmild/nerf extract_mesh.ipynb: dense sigma probe + marching
+cubes at iso=50). This module is the TPU-native equivalent, designed as
+two cleanly split stages:
+
+1. ``probe_density_grid`` — ONE jitted program sweeps the lattice through
+   the same model seam the renderer uses (``_apply_model``: Pallas/bf16
+   policy, both model families), block-mapped with ``lax.map`` so the
+   G^3 point cloud never materializes at once on device.
+2. ``marching_tetrahedra`` — host-side, fully vectorized numpy (no Python
+   loop over cells). Isosurfacing emits a data-dependent number of
+   triangles, which is exactly the shape-dynamism XLA cannot express, so
+   the extraction deliberately lives on the host; scikit-image is not in
+   the environment, and marching *tetrahedra* needs only a 16-case table
+   (vs 256) while producing a watertight, consistently wound surface.
+
+Vertices are deduplicated per lattice edge (shared between all incident
+tetrahedra), so the output is a connected mesh, not triangle soup.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# -----------------------------------------------------------------------------
+# Stage 1: device-side density probe
+# -----------------------------------------------------------------------------
+
+
+def probe_density_grid(
+    params,
+    cfg,
+    rcfg,
+    aabb_min,
+    aabb_max,
+    resolution: int = 256,
+    block: int = 65536,
+) -> np.ndarray:
+    """Raw (pre-ReLU) sigma at the ``(R+1)^3`` lattice of AABB corner points.
+
+    Pre-ReLU values are kept on purpose: the zero crossing of the *raw*
+    field is what the original NeRF export thresholds (iso=50), and the
+    sign spread below the surface gives marching tetrahedra a smooth
+    interpolation target where ReLU would plateau at exactly 0.
+
+    Returns a host numpy array of shape [R+1, R+1, R+1] (fp32).
+    """
+    from nerf_shared_tpu.render.renderer import _apply_model
+
+    r = int(resolution)
+    aabb_min = jnp.asarray(aabb_min, jnp.float32)
+    aabb_max = jnp.asarray(aabb_max, jnp.float32)
+    ax = jnp.arange(r + 1, dtype=jnp.float32) / r
+    lattice = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
+    pts = aabb_min + lattice.reshape(-1, 3) * (aabb_max - aabb_min)
+
+    n = pts.shape[0]
+    block = min(block, n)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    if pad:
+        pts = jnp.concatenate([pts, pts[:pad]], axis=0)
+    pts = pts.reshape(n_blocks, block, 3)
+
+    use_vd = getattr(cfg, "use_viewdirs", True)
+    dummy_dirs = (
+        jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32) if use_vd else None
+    )
+
+    @jax.jit
+    def sweep(params, pts):
+        def probe_block(p):
+            # sigma is viewdir-independent by architecture (the alpha head
+            # reads the trunk only, reference nerf.py:83-90)
+            raw = _apply_model(params, cfg, p[None], dummy_dirs, rcfg)
+            return raw[0, :, 3]
+
+        return jax.lax.map(probe_block, pts)
+
+    sigma = np.asarray(sweep(params, pts)).reshape(-1)[:n]
+    return sigma.reshape(r + 1, r + 1, r + 1)
+
+
+# -----------------------------------------------------------------------------
+# Stage 2: host-side marching tetrahedra
+# -----------------------------------------------------------------------------
+
+# Cube corner offsets (x, y, z); the 6-tetrahedron decomposition around the
+# main diagonal c0-c6 is face-consistent across neighboring cubes (each
+# shared cube face is split by the same diagonal from both sides), which is
+# what makes the global surface watertight.
+_CUBE_CORNERS = np.array(
+    [
+        [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+        [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],
+    ],
+    dtype=np.int64,
+)
+_TETS_RAW = [
+    (0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
+    (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6),
+]
+
+
+def _oriented_tets():
+    """The 6 cube tetrahedra, each permuted to positive signed volume so a
+    single winding table applies to all of them."""
+    out = []
+    for t in _TETS_RAW:
+        p = _CUBE_CORNERS[list(t)].astype(np.float64)
+        vol = np.linalg.det(p[1:] - p[0])
+        out.append(t if vol > 0 else (t[0], t[1], t[3], t[2]))
+    return out
+
+
+_TETS = _oriented_tets()
+
+# Local tet edges; triangle tables index into this list.
+_TET_EDGES = np.array(
+    [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)], dtype=np.int64
+)
+
+# case id = sum(inside[v] << v) -> triangles as triples of edge ids, wound so
+# the normal points from the inside region (value > iso) outward. Derived for
+# a positively oriented tet; verified by the gradient-alignment test in
+# tests/test_meshing.py.
+_TRI_TABLE = {
+    1: [(0, 1, 2)],
+    2: [(0, 4, 3)],
+    3: [(1, 4, 3), (1, 2, 4)],
+    4: [(1, 3, 5)],
+    5: [(0, 3, 5), (0, 5, 2)],
+    6: [(0, 4, 5), (0, 5, 1)],
+    7: [(2, 4, 5)],
+    8: [(2, 5, 4)],
+    9: [(0, 5, 4), (0, 1, 5)],
+    10: [(0, 5, 3), (0, 2, 5)],
+    11: [(1, 5, 3)],
+    12: [(1, 3, 4), (1, 4, 2)],
+    13: [(0, 3, 4)],
+    14: [(0, 2, 1)],
+}
+
+
+def marching_tetrahedra(
+    values: np.ndarray,
+    iso: float,
+    origin=(0.0, 0.0, 0.0),
+    spacing=(1.0, 1.0, 1.0),
+    slab: int = 64,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Isosurface of a scalar lattice field at level ``iso``.
+
+    values : [X, Y, Z] scalar samples at lattice points.
+    origin/spacing : world position of lattice point (i,j,k) is
+        origin + spacing * (i,j,k).
+    slab : cubes are processed in z-slabs of this many lattice planes to
+        bound peak host memory at large resolutions.
+
+    Returns (verts [V, 3] fp32, faces [F, 3] int32) with vertices
+    deduplicated per lattice edge. Triangles are wound counter-clockwise
+    seen from outside (normals point toward decreasing field value).
+    """
+    values = np.asarray(values, np.float32)
+    if values.ndim != 3 or min(values.shape) < 2:
+        raise ValueError(f"need a [X>=2, Y>=2, Z>=2] lattice, got {values.shape}")
+    X, Y, Z = values.shape
+    flat = values.ravel()
+    lattice_idx = np.arange(X * Y * Z, dtype=np.int64).reshape(X, Y, Z)
+
+    # Per emitted triangle corner: global lattice indices (gi, gj) of the
+    # crossed edge, accumulated per slab then deduplicated once at the end.
+    tri_gi, tri_gj = [], []
+
+    for z0 in range(0, Z - 1, slab):
+        z1 = min(z0 + slab, Z - 1)  # cubes [z0, z1)
+        # [C, 8] global lattice index of each cube corner in this slab
+        corner_idx = np.stack(
+            [
+                lattice_idx[dx:X - 1 + dx, dy:Y - 1 + dy,
+                            z0 + dz:z1 + dz].ravel()
+                for dx, dy, dz in _CUBE_CORNERS
+            ],
+            axis=1,
+        )
+        vals8 = flat[corner_idx]  # [C, 8]
+
+        for tet in _TETS:
+            ti = corner_idx[:, list(tet)]          # [C, 4]
+            tv = vals8[:, list(tet)]               # [C, 4]
+            inside = tv > iso
+            case = (
+                inside[:, 0].astype(np.int8)
+                + (inside[:, 1] << 1)
+                + (inside[:, 2] << 2)
+                + (inside[:, 3] << 3)
+            )
+            for case_id, tris in _TRI_TABLE.items():
+                sel = np.nonzero(case == case_id)[0]
+                if sel.size == 0:
+                    continue
+                ti_sel = ti[sel]
+                for tri in tris:
+                    ev = _TET_EDGES[list(tri)]     # [3, 2] local vert ids
+                    tri_gi.append(ti_sel[:, ev[:, 0]])  # [S, 3]
+                    tri_gj.append(ti_sel[:, ev[:, 1]])
+
+    if not tri_gi:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+
+    gi = np.concatenate(tri_gi, axis=0)  # [T, 3]
+    gj = np.concatenate(tri_gj, axis=0)
+
+    # Dedup vertices by undirected lattice edge.
+    lo = np.minimum(gi, gj).ravel()
+    hi = np.maximum(gi, gj).ravel()
+    keys = lo * np.int64(X * Y * Z) + hi
+    uniq, inverse = np.unique(keys, return_inverse=True)
+    faces = inverse.reshape(-1, 3).astype(np.int32)
+
+    # Interpolate each unique edge's crossing once.
+    ulo = (uniq // (X * Y * Z)).astype(np.int64)
+    uhi = (uniq % (X * Y * Z)).astype(np.int64)
+    vlo, vhi = flat[ulo], flat[uhi]
+    # endpoints straddle iso strictly on one side (inside is v > iso), so
+    # the denominator is nonzero by construction
+    t = np.clip((iso - vlo) / (vhi - vlo), 0.0, 1.0)[:, None]
+
+    origin = np.asarray(origin, np.float32)
+    spacing = np.asarray(spacing, np.float32)
+
+    def lattice_pos(g):
+        i = g // (Y * Z)
+        j = (g // Z) % Y
+        k = g % Z
+        return origin + spacing * np.stack([i, j, k], axis=-1).astype(np.float32)
+
+    verts = lattice_pos(ulo) * (1.0 - t) + lattice_pos(uhi) * t
+
+    # Drop degenerate triangles (two corners on the same lattice edge —
+    # happens when a tet face lies exactly in the iso plane).
+    ok = (
+        (faces[:, 0] != faces[:, 1])
+        & (faces[:, 1] != faces[:, 2])
+        & (faces[:, 0] != faces[:, 2])
+    )
+    return verts.astype(np.float32), faces[ok]
+
+
+def extract_mesh(
+    params,
+    cfg,
+    rcfg,
+    aabb_min,
+    aabb_max,
+    resolution: int = 256,
+    iso: float = 50.0,
+    block: int = 65536,
+    sigma_grid: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Probe the field on device, then isosurface on host.
+
+    ``iso`` follows the original NeRF export convention (raw pre-ReLU
+    sigma, default threshold 50). Pass ``sigma_grid`` to reuse an already
+    probed lattice (e.g. for an iso sweep without re-probing).
+    """
+    if sigma_grid is None:
+        sigma_grid = probe_density_grid(
+            params, cfg, rcfg, aabb_min, aabb_max,
+            resolution=resolution, block=block,
+        )
+    aabb_min = np.asarray(aabb_min, np.float32)
+    aabb_max = np.asarray(aabb_max, np.float32)
+    dims = np.asarray(sigma_grid.shape, np.float32)
+    spacing = (aabb_max - aabb_min) / (dims - 1.0)
+    return marching_tetrahedra(sigma_grid, iso, origin=aabb_min,
+                               spacing=spacing)
+
+
+# -----------------------------------------------------------------------------
+# Export
+# -----------------------------------------------------------------------------
+
+
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Wavefront OBJ (ASCII, 1-indexed faces)."""
+    with open(path, "w") as f:
+        f.write(f"# nerf_shared_tpu mesh: {len(verts)} verts, "
+                f"{len(faces)} faces\n")
+        np.savetxt(f, verts, fmt="v %.6f %.6f %.6f")
+        np.savetxt(f, faces + 1, fmt="f %d %d %d")
+
+
+def save_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Binary little-endian PLY."""
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(verts)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        f"element face {len(faces)}\n"
+        "property list uchar int vertex_indices\n"
+        "end_header\n"
+    )
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(verts.astype("<f4").tobytes())
+        counts = np.full((len(faces), 1), 3, np.uint8)
+        body = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))])
+        body["n"] = counts[:, 0]
+        body["idx"] = faces.astype("<i4")
+        f.write(body.tobytes())
+
+
+def save_mesh(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+    """Dispatch on extension (.obj / .ply)."""
+    if path.endswith(".obj"):
+        save_obj(path, verts, faces)
+    elif path.endswith(".ply"):
+        save_ply(path, verts, faces)
+    else:
+        raise ValueError(f"unsupported mesh format: {path} (.obj or .ply)")
