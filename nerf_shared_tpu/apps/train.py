@@ -572,9 +572,14 @@ def train(args):
                 )
             val_mse = float(np.mean((np.asarray(rgb) - ds.images[val_i]) ** 2))
             val_psnr = -10.0 * np.log10(val_mse) if val_mse > 0 else np.inf
-            print(f"[VAL] Iter: {last} view {val_i} PSNR: {val_psnr:.3f}")
+            from nerf_shared_tpu.utils.metrics import ssim as _ssim
+
+            val_ssim = float(_ssim(np.asarray(rgb), ds.images[val_i]))
+            print(f"[VAL] Iter: {last} view {val_i} PSNR: {val_psnr:.3f} "
+                  f"SSIM: {val_ssim:.4f}")
             if tb_writer is not None:
                 tb_writer.add_scalar("Val/PSNR", val_psnr, last)
+                tb_writer.add_scalar("Val/SSIM", val_ssim, last)
                 from nerf_shared_tpu.utils.metrics import to8b
 
                 tb_writer.add_image(
@@ -672,9 +677,12 @@ def _resolve_triplane_aabb(args, ds, H, W):
     print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
 
 
-def render_only(args):
+def render_only(args, return_rgbs: bool = False):
     """Reload newest weights and render render_poses (or the test set) to
-    PNGs + video, reference render_path semantics (utils.py:330-358, fixed)."""
+    PNGs + video, reference render_path semantics (utils.py:330-358, fixed).
+    Returns the output directory; with ``return_rgbs`` also the float
+    renders (the eval CLI computes metrics on these, not the saved 8-bit
+    PNGs)."""
     ds = load_datasets(args)
     H, W, focal = ds.hwf
     if args.render_factor > 0:
@@ -768,4 +776,6 @@ def render_only(args):
         render_fn=render_fn,
     )
     print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
+    if return_rgbs:
+        return outdir, rgbs
     return outdir
