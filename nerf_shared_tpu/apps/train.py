@@ -746,7 +746,7 @@ def render_only(args, return_rgbs: bool = False):
                 return _sh_fro(
                     state.params["fine"], fro, K, c2w,
                     k if k is not None else jax.random.PRNGKey(0),
-                )["rgb_map"]
+                )  # full map dict: the batch renderer takes rgb + disp
         elif occ_grid is None and getattr(args, "render_gate", 0.0) <= 0.0:
             from nerf_shared_tpu.parallel.render import (
                 make_sharded_pose_render,
@@ -760,7 +760,7 @@ def render_only(args, return_rgbs: bool = False):
                 return _sh_dense(
                     state.params["coarse"], state.params.get("fine"),
                     K, c2w, k,
-                )["rgb_map"]
+                )  # full map dict: the batch renderer takes rgb + disp
         # (grid-mode occupancy and ray-gated renders stay single-chip: their
         # host-sync compaction doesn't shard — froxel mode is the fast path)
 
@@ -774,6 +774,7 @@ def render_only(args, return_rgbs: bool = False):
         occ_mode=getattr(args, "occ_mode", "froxel"),
         occ_tile=getattr(args, "occ_tile", 8),
         render_fn=render_fn,
+        save_depth=getattr(args, "render_depth", False),
     )
     print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
     if return_rgbs:

@@ -142,6 +142,9 @@ def config_parser() -> ConfigArgumentParser:
                         help='use the test-split poses for rendering instead of the camera path')
     parser.add_argument("--render_factor", type=int, default=0,
                         help='render at 1/N resolution for quick previews')
+    parser.add_argument("--render_depth", action='store_true',
+                        help='also export inverse-depth maps from '
+                             '--render_only (NNN_disp.png + disp.npy)')
 
     # training options (precrop)
     parser.add_argument("--precrop_iters", type=int, default=0,

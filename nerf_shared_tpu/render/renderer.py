@@ -631,11 +631,18 @@ class Renderer:
         occ_tile: int = 8,
         occ_select: str = "sort",
         render_fn=None,
+        save_depth: bool = False,
     ):
         """Render poses to PNGs (+ optional mp4 / TensorBoard), reference
         render_utils.py:293-319. Rendering is done in eval mode with
         perturb=0 and no sigma noise (the reference relies on module train/
-        eval state implicitly; here it is explicit)."""
+        eval state implicitly; here it is explicit).
+
+        ``save_depth`` additionally writes per-view inverse-depth maps
+        (``NNN_disp.png`` normalized for viewing + raw float ``disp.npy``)
+        from every engine path that produces one (dense, occupancy/froxel,
+        gated, and any ``render_fn`` that returns a map dict with a
+        ``disp_map``)."""
         import imageio
 
         from nerf_shared_tpu.utils.metrics import to8b
@@ -649,28 +656,35 @@ class Renderer:
         )
         if save_directory is not None:
             os.makedirs(save_directory, exist_ok=True)
-        rgbs = []
+        rgbs, disps = [], []
         for i, c2w in enumerate(np.asarray(batch_c2w)):
+            disp = None
             if render_fn is not None:
                 # caller-supplied pose renderer (e.g. the mesh-sharded
-                # froxel path from apps/train multi-chip hooks)
+                # froxel path from apps/train multi-chip hooks); may return
+                # the rgb map alone or a full map dict
                 rgb = render_fn(jnp.asarray(c2w[:3, :4]), key)
+                if isinstance(rgb, dict):
+                    disp = rgb.get("disp_map")
+                    rgb = rgb["rgb_map"]
             elif occ_grid is not None:
-                rgb, _ = eval_renderer.render_image_occ(
+                rgb, out = eval_renderer.render_image_occ(
                     H, W, K, jnp.asarray(c2w[:3, :4]),
                     fine_model if fine_model is not None else coarse_model,
                     occ_grid, chunk=chunk, key=key,
                     n_candidates=occ_candidates, n_keep=occ_keep,
                     mode=occ_mode, tile=occ_tile, select=occ_select,
                 )
+                disp = out.get("disp_map")
             elif gate_threshold > 0.0:
-                rgb, _ = eval_renderer.render_image_gated(
+                rgb, out = eval_renderer.render_image_gated(
                     H, W, K, jnp.asarray(c2w[:3, :4]), coarse_model,
                     fine_model, chunk=chunk, key=key,
                     threshold=gate_threshold,
                 )
+                disp = out.get("disp_map")
             else:
-                rgb, _, _, _ = eval_renderer.render_from_pose(
+                rgb, disp, _, _ = eval_renderer.render_from_pose(
                     H,
                     W,
                     K,
@@ -685,6 +699,22 @@ class Renderer:
             if save_directory is not None:
                 filename = os.path.join(save_directory, "{:03d}.png".format(i))
                 imageio.imwrite(filename, to8b(rgbs[-1]))
+            if save_depth and disp is not None:
+                d = np.asarray(disp).reshape(rgbs[-1].shape[:2])
+                disps.append(d)
+                if save_directory is not None:
+                    # rays with zero opacity disp to 1/1e-10 by the
+                    # reference formula (raw2outputs); mask that sentinel
+                    # out of the viewing normalization, keep it in the .npy
+                    viz = np.where(d < 1e9, d, 0.0)
+                    dmax = float(viz.max())
+                    imageio.imwrite(
+                        os.path.join(save_directory, f"{i:03d}_disp.png"),
+                        to8b(viz / dmax if dmax > 0 else viz),
+                    )
+        if save_depth and disps and save_directory is not None:
+            np.save(os.path.join(save_directory, "disp.npy"),
+                    np.stack(disps))
         if b_combine_as_video and save_directory is not None:
             frames = to8b(np.stack(rgbs))
             try:
