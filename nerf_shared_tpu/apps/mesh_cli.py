@@ -41,6 +41,9 @@ def extend_parser_for_mesh(parser: ConfigArgumentParser) -> ConfigArgumentParser
                              "frustum hull of the training poses)")
     parser.add_argument("--mesh_block", type=int, default=65536,
                         help="points per device probe dispatch")
+    parser.add_argument("--mesh_color", action="store_true",
+                        help="bake per-vertex radiance (viewed along the "
+                             "inward normal) into the exported mesh")
     return parser
 
 
@@ -70,7 +73,11 @@ def run_mesh(args):
     )
     from nerf_shared_tpu.data.datasets import load_datasets
     from nerf_shared_tpu.factory import get_renderer, get_train_state, nerf_configs
-    from nerf_shared_tpu.ops.meshing import extract_mesh, save_mesh
+    from nerf_shared_tpu.ops.meshing import (
+        extract_mesh,
+        save_mesh,
+        vertex_colors,
+    )
     from nerf_shared_tpu.utils import checkpoints as ckpt_utils
 
     ds = load_datasets(args)
@@ -97,12 +104,18 @@ def run_mesh(args):
         resolution=args.mesh_res, iso=args.mesh_iso, block=args.mesh_block,
     )
 
+    colors = None
+    if args.mesh_color and len(verts):
+        colors = vertex_colors(params, cfg, renderer.cfg, verts, faces,
+                               block=args.mesh_block)
+
     out = args.mesh_out or os.path.join(
         args.basedir, args.expname, f"mesh_{start:06d}.obj")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    save_mesh(out, verts, faces)
+    save_mesh(out, verts, faces, colors)
     print(f"wrote {out}: {len(verts)} vertices, {len(faces)} faces "
-          f"(iso={args.mesh_iso})")
+          f"(iso={args.mesh_iso}"
+          + (", vertex colors)" if colors is not None else ")"))
     return out, verts, faces
 
 

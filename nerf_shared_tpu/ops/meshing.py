@@ -284,45 +284,127 @@ def extract_mesh(
                                spacing=spacing)
 
 
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals (host-side numpy). Faces are wound
+    outward by ``marching_tetrahedra``, so these point out of the surface."""
+    fn = np.cross(
+        verts[faces[:, 1]] - verts[faces[:, 0]],
+        verts[faces[:, 2]] - verts[faces[:, 0]],
+    )  # |fn| = 2 * area: accumulating unnormalized = area weighting
+    vn = np.zeros_like(verts)
+    for k in range(3):
+        np.add.at(vn, faces[:, k], fn)
+    norm = np.linalg.norm(vn, axis=1, keepdims=True)
+    return vn / np.maximum(norm, 1e-12)
+
+
+def vertex_colors(
+    params,
+    cfg,
+    rcfg,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    block: int = 65536,
+) -> np.ndarray:
+    """Radiance at each vertex, viewed head-on: the model is evaluated at
+    the vertex positions with the view direction anti-parallel to the
+    outward vertex normal (a camera looking straight at the surface), and
+    the rgb logits pass the same sigmoid the renderer's compositor applies
+    (ops/compositing.raw2outputs). Returns [V, 3] floats in [0, 1]."""
+    from nerf_shared_tpu.render.renderer import _apply_model
+
+    if len(verts) == 0:
+        return np.zeros((0, 3), np.float32)
+    normals = vertex_normals(verts, faces)
+    pts = jnp.asarray(verts, jnp.float32)
+    dirs = jnp.asarray(-normals, jnp.float32)
+
+    n = pts.shape[0]
+    block = min(block, n)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    if pad:
+        pts = jnp.concatenate([pts, pts[:pad]], axis=0)
+        dirs = jnp.concatenate([dirs, dirs[:pad]], axis=0)
+    pts = pts.reshape(n_blocks, block, 3)
+    dirs = dirs.reshape(n_blocks, block, 3)
+    use_vd = getattr(cfg, "use_viewdirs", True)
+
+    @jax.jit
+    def sweep(params, pts, dirs):
+        def probe_block(args):
+            p, d = args
+            # one sample per ray: viewdirs are per-RAY in the model seam,
+            # and every vertex looks along its own normal
+            raw = _apply_model(params, cfg, p[:, None],
+                               d if use_vd else None, rcfg)
+            return jax.nn.sigmoid(raw[:, 0, :3])
+
+        return jax.lax.map(probe_block, (pts, dirs))
+
+    rgb = np.asarray(sweep(params, pts, dirs)).reshape(-1, 3)[:n]
+    return rgb.astype(np.float32)
+
+
 # -----------------------------------------------------------------------------
 # Export
 # -----------------------------------------------------------------------------
 
 
-def save_obj(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
-    """Wavefront OBJ (ASCII, 1-indexed faces)."""
+def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
+             colors: np.ndarray = None) -> None:
+    """Wavefront OBJ (ASCII, 1-indexed faces). Vertex colors use the
+    widely supported unofficial extension: `v x y z r g b`."""
     with open(path, "w") as f:
         f.write(f"# nerf_shared_tpu mesh: {len(verts)} verts, "
                 f"{len(faces)} faces\n")
-        np.savetxt(f, verts, fmt="v %.6f %.6f %.6f")
+        if colors is None:
+            np.savetxt(f, verts, fmt="v %.6f %.6f %.6f")
+        else:
+            np.savetxt(f, np.concatenate([verts, colors], axis=1),
+                       fmt="v %.6f %.6f %.6f %.4f %.4f %.4f")
         np.savetxt(f, faces + 1, fmt="f %d %d %d")
 
 
-def save_ply(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
-    """Binary little-endian PLY."""
+def save_ply(path: str, verts: np.ndarray, faces: np.ndarray,
+             colors: np.ndarray = None) -> None:
+    """Binary little-endian PLY, optionally with uchar vertex colors."""
+    color_props = (
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        if colors is not None else ""
+    )
     header = (
         "ply\nformat binary_little_endian 1.0\n"
         f"element vertex {len(verts)}\n"
         "property float x\nproperty float y\nproperty float z\n"
-        f"element face {len(faces)}\n"
+        + color_props
+        + f"element face {len(faces)}\n"
         "property list uchar int vertex_indices\n"
         "end_header\n"
     )
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        f.write(verts.astype("<f4").tobytes())
-        counts = np.full((len(faces), 1), 3, np.uint8)
+        if colors is None:
+            f.write(verts.astype("<f4").tobytes())
+        else:
+            vrec = np.zeros(
+                len(verts), dtype=[("xyz", "<f4", (3,)), ("rgb", "u1", (3,))]
+            )
+            vrec["xyz"] = verts
+            vrec["rgb"] = np.clip(np.asarray(colors) * 255.0 + 0.5, 0, 255)
+            f.write(vrec.tobytes())
         body = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))])
-        body["n"] = counts[:, 0]
+        body["n"] = 3
         body["idx"] = faces.astype("<i4")
         f.write(body.tobytes())
 
 
-def save_mesh(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
+def save_mesh(path: str, verts: np.ndarray, faces: np.ndarray,
+              colors: np.ndarray = None) -> None:
     """Dispatch on extension (.obj / .ply)."""
     if path.endswith(".obj"):
-        save_obj(path, verts, faces)
+        save_obj(path, verts, faces, colors)
     elif path.endswith(".ply"):
-        save_ply(path, verts, faces)
+        save_ply(path, verts, faces, colors)
     else:
         raise ValueError(f"unsupported mesh format: {path} (.obj or .ply)")

@@ -14,6 +14,8 @@ from nerf_shared_tpu.ops.meshing import (
     probe_density_grid,
     save_obj,
     save_ply,
+    vertex_colors,
+    vertex_normals,
 )
 
 
@@ -170,6 +172,54 @@ def test_extract_mesh_from_model():
     assert faces.min() >= 0 and faces.max() < len(verts)
 
 
+def test_vertex_normals_on_sphere():
+    """Area-weighted vertex normals of the extracted sphere align with the
+    radial direction."""
+    vals, origin, spacing = _sphere_field()
+    verts, faces = marching_tetrahedra(vals, 0.0, origin, spacing)
+    vn = vertex_normals(verts, faces)
+    np.testing.assert_allclose(np.linalg.norm(vn, axis=1), 1.0, atol=1e-6)
+    radial = verts / np.linalg.norm(verts, axis=1, keepdims=True)
+    assert ((vn * radial).sum(1) > 0.95).all()
+
+
+def test_vertex_colors_from_model():
+    """Colors are the model's sigmoided rgb at the vertices: verify against
+    a direct evaluation with the same normal-derived view directions."""
+    from nerf_shared_tpu.models.nerf import NeRFConfig, apply_nerf, init_nerf_params
+    from nerf_shared_tpu.render.renderer import RenderConfig
+
+    cfg = NeRFConfig(D=2, W=32, output_ch=4, skips=(), use_viewdirs=True,
+                     multires=4, multires_views=2)
+    params = init_nerf_params(jax.random.PRNGKey(2), cfg)
+    rcfg = RenderConfig(near=0.0, far=1.0)
+    vals, origin, spacing = _sphere_field(n=9)
+    verts, faces = marching_tetrahedra(vals, 0.0, origin, spacing)
+    cols = vertex_colors(params, cfg, rcfg, verts, faces, block=128)
+    assert cols.shape == (len(verts), 3)
+    assert (cols >= 0).all() and (cols <= 1).all()
+    dirs = -vertex_normals(verts, faces)
+    raw = apply_nerf(params, cfg, verts[:, None], dirs)  # one sample/ray
+    expect = 1.0 / (1.0 + np.exp(-np.asarray(raw[:, 0, :3])))
+    np.testing.assert_allclose(cols, expect, atol=1e-5)
+
+
+def test_save_ply_with_colors(tmp_path):
+    vals, origin, spacing = _sphere_field(n=9)
+    verts, faces = marching_tetrahedra(vals, 0.0, origin, spacing)
+    colors = np.tile(np.float32([1.0, 0.5, 0.0]), (len(verts), 1))
+    ply = os.path.join(str(tmp_path), "c.ply")
+    save_ply(ply, verts, faces, colors)
+    raw = open(ply, "rb").read()
+    header, _, body = raw.partition(b"end_header\n")
+    assert b"property uchar red" in header
+    assert len(body) == len(verts) * 15 + len(faces) * 13
+    # first record: 12 bytes xyz + 3 bytes rgb
+    np.testing.assert_allclose(np.frombuffer(body[:12], "<f4"), verts[0],
+                               atol=1e-6)
+    assert list(body[12:15]) == [255, 128, 0]
+
+
 @pytest.mark.parametrize("family", ["nerf", "triplane"])
 def test_mesh_cli_end_to_end(tmp_path, family):
     """Train a tiny scene through the real CLI, then export its mesh through
@@ -201,7 +251,7 @@ def test_mesh_cli_end_to_end(tmp_path, family):
         "--mesh_res", "24",
         "--mesh_iso", "1.0",
         "--mesh_out", out,
-    ])
+    ] + (["--mesh_color"] if family == "nerf" else []))
     assert path == out and os.path.exists(out)
     assert len(verts) > 0 and len(faces) > 0
     assert np.isfinite(verts).all()
