@@ -44,6 +44,11 @@ def extend_parser_for_mesh(parser: ConfigArgumentParser) -> ConfigArgumentParser
     parser.add_argument("--mesh_color", action="store_true",
                         help="bake per-vertex radiance (viewed along the "
                              "inward normal) into the exported mesh")
+    parser.add_argument("--mesh_normals", type=str, default="none",
+                        choices=["none", "face", "grad"],
+                        help="export per-vertex normals: area-weighted "
+                             "face normals or the smoother density "
+                             "gradient -∇sigma/|∇sigma|")
     return parser
 
 
@@ -74,9 +79,11 @@ def run_mesh(args):
     from nerf_shared_tpu.data.datasets import load_datasets
     from nerf_shared_tpu.factory import get_renderer, get_train_state, nerf_configs
     from nerf_shared_tpu.ops.meshing import (
+        density_gradient_normals,
         extract_mesh,
         save_mesh,
         vertex_colors,
+        vertex_normals,
     )
     from nerf_shared_tpu.utils import checkpoints as ckpt_utils
 
@@ -104,18 +111,26 @@ def run_mesh(args):
         resolution=args.mesh_res, iso=args.mesh_iso, block=args.mesh_block,
     )
 
+    normals = None
+    if len(verts) and args.mesh_normals == "face":
+        normals = vertex_normals(verts, faces)
+    elif len(verts) and args.mesh_normals == "grad":
+        normals = density_gradient_normals(params, cfg, renderer.cfg, verts,
+                                           block=args.mesh_block)
     colors = None
     if args.mesh_color and len(verts):
         colors = vertex_colors(params, cfg, renderer.cfg, verts, faces,
-                               block=args.mesh_block)
+                               block=args.mesh_block, normals=normals)
 
     out = args.mesh_out or os.path.join(
         args.basedir, args.expname, f"mesh_{start:06d}.obj")
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    save_mesh(out, verts, faces, colors)
+    save_mesh(out, verts, faces, colors, normals)
     print(f"wrote {out}: {len(verts)} vertices, {len(faces)} faces "
           f"(iso={args.mesh_iso}"
-          + (", vertex colors)" if colors is not None else ")"))
+          + (", colors" if colors is not None else "")
+          + (f", {args.mesh_normals} normals" if normals is not None else "")
+          + ")")
     return out, verts, faces
 
 

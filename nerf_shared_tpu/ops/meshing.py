@@ -298,6 +298,52 @@ def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return vn / np.maximum(norm, 1e-12)
 
 
+def density_gradient_normals(
+    params,
+    cfg,
+    rcfg,
+    verts: np.ndarray,
+    block: int = 65536,
+) -> np.ndarray:
+    """Smooth per-vertex normals from the density field itself:
+    n = -∇sigma / |∇sigma| (density grows into the surface, so the
+    negative gradient points outward). Differentiates the same model seam
+    the renderer uses, so it works for every model family; unlike the
+    area-weighted face normals these don't inherit the tetrahedral
+    faceting of the extraction lattice."""
+    from nerf_shared_tpu.render.renderer import _apply_model
+
+    if len(verts) == 0:
+        return np.zeros((0, 3), np.float32)
+    pts = jnp.asarray(verts, jnp.float32)
+    n = pts.shape[0]
+    block = min(block, n)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    if pad:
+        pts = jnp.concatenate([pts, pts[:pad]], axis=0)
+    pts = pts.reshape(n_blocks, block, 3)
+    use_vd = getattr(cfg, "use_viewdirs", True)
+    dummy = (jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32)
+             if use_vd else None)
+
+    def sigma_one(p):  # scalar sigma at one point
+        raw = _apply_model(params, cfg, p[None, None], dummy, rcfg)
+        return raw[0, 0, 3]
+
+    @jax.jit
+    def sweep(params, pts):
+        def grad_block(p):
+            g = jax.vmap(jax.grad(sigma_one))(p)
+            return -g / jnp.maximum(
+                jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+
+        return jax.lax.map(grad_block, pts)
+
+    out = np.asarray(sweep(params, pts)).reshape(-1, 3)[:n]
+    return out.astype(np.float32)
+
+
 def vertex_colors(
     params,
     cfg,
@@ -305,17 +351,21 @@ def vertex_colors(
     verts: np.ndarray,
     faces: np.ndarray,
     block: int = 65536,
+    normals: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Radiance at each vertex, viewed head-on: the model is evaluated at
     the vertex positions with the view direction anti-parallel to the
     outward vertex normal (a camera looking straight at the surface), and
     the rgb logits pass the same sigmoid the renderer's compositor applies
-    (ops/compositing.raw2outputs). Returns [V, 3] floats in [0, 1]."""
+    (ops/compositing.raw2outputs). Returns [V, 3] floats in [0, 1].
+    ``normals`` overrides the default area-weighted face normals (e.g.
+    with ``density_gradient_normals``)."""
     from nerf_shared_tpu.render.renderer import _apply_model
 
     if len(verts) == 0:
         return np.zeros((0, 3), np.float32)
-    normals = vertex_normals(verts, faces)
+    if normals is None:
+        normals = vertex_normals(verts, faces)
     pts = jnp.asarray(verts, jnp.float32)
     dirs = jnp.asarray(-normals, jnp.float32)
 
@@ -352,9 +402,10 @@ def vertex_colors(
 
 
 def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
-             colors: np.ndarray = None) -> None:
+             colors: np.ndarray = None, normals: np.ndarray = None) -> None:
     """Wavefront OBJ (ASCII, 1-indexed faces). Vertex colors use the
-    widely supported unofficial extension: `v x y z r g b`."""
+    widely supported unofficial extension: `v x y z r g b`; normals are
+    standard `vn` lines with `f v//vn` faces (per-vertex, same index)."""
     with open(path, "w") as f:
         f.write(f"# nerf_shared_tpu mesh: {len(verts)} verts, "
                 f"{len(faces)} faces\n")
@@ -363,36 +414,46 @@ def save_obj(path: str, verts: np.ndarray, faces: np.ndarray,
         else:
             np.savetxt(f, np.concatenate([verts, colors], axis=1),
                        fmt="v %.6f %.6f %.6f %.4f %.4f %.4f")
-        np.savetxt(f, faces + 1, fmt="f %d %d %d")
+        if normals is None:
+            np.savetxt(f, faces + 1, fmt="f %d %d %d")
+        else:
+            np.savetxt(f, normals, fmt="vn %.6f %.6f %.6f")
+            np.savetxt(f, np.repeat(faces + 1, 2, axis=1),
+                       fmt="f %d//%d %d//%d %d//%d")
 
 
 def save_ply(path: str, verts: np.ndarray, faces: np.ndarray,
-             colors: np.ndarray = None) -> None:
-    """Binary little-endian PLY, optionally with uchar vertex colors."""
-    color_props = (
-        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
-        if colors is not None else ""
-    )
+             colors: np.ndarray = None, normals: np.ndarray = None) -> None:
+    """Binary little-endian PLY, optionally with float vertex normals
+    and/or uchar vertex colors (standard property order: xyz, normals,
+    colors)."""
+    fields = [("xyz", "<f4", (3,))]
+    props = "property float x\nproperty float y\nproperty float z\n"
+    if normals is not None:
+        fields.append(("n", "<f4", (3,)))
+        props += ("property float nx\nproperty float ny\n"
+                  "property float nz\n")
+    if colors is not None:
+        fields.append(("rgb", "u1", (3,)))
+        props += ("property uchar red\nproperty uchar green\n"
+                  "property uchar blue\n")
     header = (
         "ply\nformat binary_little_endian 1.0\n"
         f"element vertex {len(verts)}\n"
-        "property float x\nproperty float y\nproperty float z\n"
-        + color_props
+        + props
         + f"element face {len(faces)}\n"
         "property list uchar int vertex_indices\n"
         "end_header\n"
     )
+    vrec = np.zeros(len(verts), dtype=fields)
+    vrec["xyz"] = verts
+    if normals is not None:
+        vrec["n"] = normals
+    if colors is not None:
+        vrec["rgb"] = np.clip(np.asarray(colors) * 255.0 + 0.5, 0, 255)
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        if colors is None:
-            f.write(verts.astype("<f4").tobytes())
-        else:
-            vrec = np.zeros(
-                len(verts), dtype=[("xyz", "<f4", (3,)), ("rgb", "u1", (3,))]
-            )
-            vrec["xyz"] = verts
-            vrec["rgb"] = np.clip(np.asarray(colors) * 255.0 + 0.5, 0, 255)
-            f.write(vrec.tobytes())
+        f.write(vrec.tobytes())
         body = np.zeros(len(faces), dtype=[("n", "u1"), ("idx", "<i4", (3,))])
         body["n"] = 3
         body["idx"] = faces.astype("<i4")
@@ -400,11 +461,11 @@ def save_ply(path: str, verts: np.ndarray, faces: np.ndarray,
 
 
 def save_mesh(path: str, verts: np.ndarray, faces: np.ndarray,
-              colors: np.ndarray = None) -> None:
+              colors: np.ndarray = None, normals: np.ndarray = None) -> None:
     """Dispatch on extension (.obj / .ply)."""
     if path.endswith(".obj"):
-        save_obj(path, verts, faces, colors)
+        save_obj(path, verts, faces, colors, normals)
     elif path.endswith(".ply"):
-        save_ply(path, verts, faces, colors)
+        save_ply(path, verts, faces, colors, normals)
     else:
         raise ValueError(f"unsupported mesh format: {path} (.obj or .ply)")

@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from nerf_shared_tpu.ops.meshing import (
+    density_gradient_normals,
     extract_mesh,
     marching_tetrahedra,
     probe_density_grid,
@@ -204,6 +205,52 @@ def test_vertex_colors_from_model():
     np.testing.assert_allclose(cols, expect, atol=1e-5)
 
 
+def test_density_gradient_normals():
+    """On a model whose density is a known analytic function, -∇sigma
+    normalized must match the analytic gradient. Use a radial field via a
+    triplane-free direct NeRF? Simpler: probe the real model and check the
+    normals are unit and agree with finite differences."""
+    from nerf_shared_tpu.models.nerf import NeRFConfig, init_nerf_params
+    from nerf_shared_tpu.render.renderer import RenderConfig
+
+    cfg = NeRFConfig(D=2, W=32, output_ch=4, skips=(), use_viewdirs=True,
+                     multires=4, multires_views=2)
+    params = init_nerf_params(jax.random.PRNGKey(3), cfg)
+    rcfg = RenderConfig(near=0.0, far=1.0)
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, (40, 3)).astype(np.float32)
+    nrm = density_gradient_normals(params, cfg, rcfg, pts, block=16)
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+
+    # central finite differences of the probed sigma
+    eps = 1e-3
+    grads = np.zeros_like(pts)
+    for ax in range(3):
+        d = np.zeros(3, np.float32)
+        d[ax] = eps
+        hi = probe_sigma_pts(params, cfg, rcfg, pts + d)
+        lo = probe_sigma_pts(params, cfg, rcfg, pts - d)
+        grads[:, ax] = (hi - lo) / (2 * eps)
+    fd = -grads / np.maximum(
+        np.linalg.norm(grads, axis=1, keepdims=True), 1e-12)
+    dots = (fd * nrm).sum(1)
+    # fp32 central differences at eps=1e-3 are noisy where |∇sigma| is
+    # small; autodiff is the exact one of the two
+    assert (dots > 0.95).all()
+    assert np.median(dots) > 0.999
+
+
+def probe_sigma_pts(params, cfg, rcfg, pts):
+    """Raw sigma at arbitrary points through the renderer's model seam."""
+    import jax.numpy as jnp
+
+    from nerf_shared_tpu.render.renderer import _apply_model
+
+    dummy = np.full((1, 3), 1.0 / np.sqrt(3.0), np.float32)
+    raw = _apply_model(params, cfg, jnp.asarray(pts)[None], dummy, rcfg)
+    return np.asarray(raw[0, :, 3])
+
+
 def test_save_ply_with_colors(tmp_path):
     vals, origin, spacing = _sphere_field(n=9)
     verts, faces = marching_tetrahedra(vals, 0.0, origin, spacing)
@@ -218,6 +265,25 @@ def test_save_ply_with_colors(tmp_path):
     np.testing.assert_allclose(np.frombuffer(body[:12], "<f4"), verts[0],
                                atol=1e-6)
     assert list(body[12:15]) == [255, 128, 0]
+
+    # normals + colors together: xyz(12) + n(12) + rgb(3) = 27 B/vertex
+    nrm = vertex_normals(verts, faces)
+    ply2 = os.path.join(str(tmp_path), "cn.ply")
+    save_ply(ply2, verts, faces, colors, nrm)
+    raw2 = open(ply2, "rb").read()
+    header2, _, body2 = raw2.partition(b"end_header\n")
+    assert b"property float nx" in header2
+    assert len(body2) == len(verts) * 27 + len(faces) * 13
+    np.testing.assert_allclose(np.frombuffer(body2[12:24], "<f4"), nrm[0],
+                               atol=1e-6)
+
+    # OBJ with normals: vn lines + f v//vn faces
+    obj = os.path.join(str(tmp_path), "n.obj")
+    save_obj(obj, verts, faces, normals=nrm)
+    lines = open(obj).read().splitlines()
+    assert sum(l.startswith("vn ") for l in lines) == len(verts)
+    fline = next(l for l in lines if l.startswith("f "))
+    assert "//" in fline
 
 
 @pytest.mark.parametrize("family", ["nerf", "triplane"])
