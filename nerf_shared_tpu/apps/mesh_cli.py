@@ -104,11 +104,23 @@ def run_mesh(args):
     cfg = fcfg if (fcfg is not None and "fine" in state.params) else ccfg
 
     lo, hi = mesh_aabb(args, renderer, ds, H, W)
+    # >1 chip: split the lattice sweep over the device mesh, same policy
+    # as render_only (the probe is the expensive part of an export)
+    import jax
+
+    dev_mesh = None
+    if (args.mesh_shape and int(np.prod(args.mesh_shape)) > 1) \
+            or len(jax.devices()) > 1:
+        from nerf_shared_tpu.parallel.mesh import make_mesh
+
+        dev_mesh = make_mesh(args.mesh_shape)
+        print(f"probe mesh: {dev_mesh}")
     print(f"probing sigma on a {args.mesh_res}^3 lattice over "
           f"[{np.asarray(lo).round(2)}, {np.asarray(hi).round(2)}]")
     verts, faces = extract_mesh(
         params, cfg, renderer.cfg, lo, hi,
         resolution=args.mesh_res, iso=args.mesh_iso, block=args.mesh_block,
+        mesh=dev_mesh,
     )
 
     normals = None

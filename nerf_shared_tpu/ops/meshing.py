@@ -42,6 +42,7 @@ def probe_density_grid(
     aabb_max,
     resolution: int = 256,
     block: int = 65536,
+    mesh=None,
 ) -> np.ndarray:
     """Raw (pre-ReLU) sigma at the ``(R+1)^3`` lattice of AABB corner points.
 
@@ -49,6 +50,12 @@ def probe_density_grid(
     field is what the original NeRF export thresholds (iso=50), and the
     sign spread below the surface gives marching tetrahedra a smooth
     interpolation target where ReLU would plateau at exactly 0.
+
+    With a ``jax.sharding.Mesh`` the point blocks split over the leading
+    mesh axis (params replicated, no cross-device math in the probe, so
+    the only collective is the output gather) — a 512^3 export sweep is
+    135M MLP points, exactly the embarrassingly parallel shape a pod
+    should not run on one chip.
 
     Returns a host numpy array of shape [R+1, R+1, R+1] (fp32).
     """
@@ -64,9 +71,12 @@ def probe_density_grid(
     n = pts.shape[0]
     block = min(block, n)
     n_blocks = -(-n // block)
+    n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+    n_blocks = -(-n_blocks // n_shards) * n_shards
     pad = n_blocks * block - n
     if pad:
-        pts = jnp.concatenate([pts, pts[:pad]], axis=0)
+        reps = -(-pad // n) + 1
+        pts = jnp.tile(pts, (reps, 1))[: n + pad]
     pts = pts.reshape(n_blocks, block, 3)
 
     use_vd = getattr(cfg, "use_viewdirs", True)
@@ -74,8 +84,7 @@ def probe_density_grid(
         jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32) if use_vd else None
     )
 
-    @jax.jit
-    def sweep(params, pts):
+    def sweep_local(params, pts):
         def probe_block(p):
             # sigma is viewdir-independent by architecture (the alpha head
             # reads the trunk only, reference nerf.py:83-90)
@@ -84,7 +93,20 @@ def probe_density_grid(
 
         return jax.lax.map(probe_block, pts)
 
-    sigma = np.asarray(sweep(params, pts)).reshape(-1)[:n]
+    if mesh is None:
+        sigma = jax.jit(sweep_local)(params, pts)
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        sweep = shard_map(
+            sweep_local, mesh=mesh,
+            in_specs=(P(), P(axis)), out_specs=P(axis),
+        )
+        sigma = jax.jit(sweep)(params, pts)
+
+    sigma = np.asarray(sigma).reshape(-1)[:n]
     return sigma.reshape(r + 1, r + 1, r + 1)
 
 
@@ -264,8 +286,10 @@ def extract_mesh(
     iso: float = 50.0,
     block: int = 65536,
     sigma_grid: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Probe the field on device, then isosurface on host.
+    """Probe the field on device (sharded over ``mesh`` when given), then
+    isosurface on host.
 
     ``iso`` follows the original NeRF export convention (raw pre-ReLU
     sigma, default threshold 50). Pass ``sigma_grid`` to reuse an already
@@ -274,7 +298,7 @@ def extract_mesh(
     if sigma_grid is None:
         sigma_grid = probe_density_grid(
             params, cfg, rcfg, aabb_min, aabb_max,
-            resolution=resolution, block=block,
+            resolution=resolution, block=block, mesh=mesh,
         )
     aabb_min = np.asarray(aabb_min, np.float32)
     aabb_max = np.asarray(aabb_max, np.float32)

@@ -152,6 +152,27 @@ def test_probe_matches_direct_density():
     np.testing.assert_allclose(grid.reshape(-1), raw[0, :, 3], atol=1e-5)
 
 
+def test_sharded_probe_matches_single_device():
+    """The mesh-sharded lattice sweep returns bit-identical sigma to the
+    single-device sweep (params replicated, blocks split over 'data')."""
+    from nerf_shared_tpu.models.nerf import NeRFConfig, init_nerf_params
+    from nerf_shared_tpu.parallel.mesh import make_mesh
+    from nerf_shared_tpu.render.renderer import RenderConfig
+
+    cfg = NeRFConfig(D=2, W=32, output_ch=4, skips=(), use_viewdirs=True,
+                     multires=4, multires_views=2)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    rcfg = RenderConfig(near=0.0, far=1.0)
+    lo, hi = np.float32([-1, -1, -1]), np.float32([1, 1, 1])
+    # resolution 10 -> 1331 lattice points, block 64 -> 21 blocks, padded
+    # to 24 for the 8-device mesh: exercises the uneven-tail path
+    single = probe_density_grid(params, cfg, rcfg, lo, hi, resolution=10,
+                                block=64)
+    sharded = probe_density_grid(params, cfg, rcfg, lo, hi, resolution=10,
+                                 block=64, mesh=make_mesh())
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_extract_mesh_from_model():
     """extract_mesh on a random tiny model produces a finite mesh inside the
     AABB at an iso level chosen from the probed field."""
