@@ -177,6 +177,7 @@ def marching_tetrahedra(
     origin=(0.0, 0.0, 0.0),
     spacing=(1.0, 1.0, 1.0),
     slab: int = 64,
+    native: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Isosurface of a scalar lattice field at level ``iso``.
 
@@ -184,7 +185,11 @@ def marching_tetrahedra(
     origin/spacing : world position of lattice point (i,j,k) is
         origin + spacing * (i,j,k).
     slab : cubes are processed in z-slabs of this many lattice planes to
-        bound peak host memory at large resolutions.
+        bound peak host memory at large resolutions (numpy scan only).
+    native : "auto" uses the OpenMP C++ cell scan (native/meshing.cpp)
+        when it builds, "never" forces the numpy scan, "require" asserts
+        the library is available. Both scans produce identical face sets
+        (tested); dedup and interpolation are shared numpy code.
 
     Returns (verts [V, 3] fp32, faces [F, 3] int32) with vertices
     deduplicated per lattice edge. Triangles are wound counter-clockwise
@@ -193,6 +198,23 @@ def marching_tetrahedra(
     values = np.asarray(values, np.float32)
     if values.ndim != 3 or min(values.shape) < 2:
         raise ValueError(f"need a [X>=2, Y>=2, Z>=2] lattice, got {values.shape}")
+
+    if native != "never":
+        from nerf_shared_tpu.ops import native_meshing
+
+        if native_meshing.available():
+            lo, hi = native_meshing.mt_scan(values, iso)
+            return _dedup_and_interp(lo, hi, values, iso, origin, spacing)
+        if native == "require":
+            raise RuntimeError("native meshing library unavailable "
+                               "(build failed? see native/Makefile)")
+    lo, hi = _numpy_scan(values, iso, slab)
+    return _dedup_and_interp(lo, hi, values, iso, origin, spacing)
+
+
+def _numpy_scan(values: np.ndarray, iso: float, slab: int):
+    """Vectorized cube scan: returns flat (lo, hi) lattice-index arrays of
+    length 3*T, one entry per triangle corner (winding order preserved)."""
     X, Y, Z = values.shape
     flat = values.ravel()
     lattice_idx = np.arange(X * Y * Z, dtype=np.int64).reshape(X, Y, Z)
@@ -235,14 +257,21 @@ def marching_tetrahedra(
                     tri_gj.append(ti_sel[:, ev[:, 1]])
 
     if not tri_gi:
-        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
 
     gi = np.concatenate(tri_gi, axis=0)  # [T, 3]
     gj = np.concatenate(tri_gj, axis=0)
+    return np.minimum(gi, gj).ravel(), np.maximum(gi, gj).ravel()
 
-    # Dedup vertices by undirected lattice edge.
-    lo = np.minimum(gi, gj).ravel()
-    hi = np.maximum(gi, gj).ravel()
+
+def _dedup_and_interp(lo, hi, values, iso, origin, spacing):
+    """Shared tail of both scans: vertex dedup by undirected lattice edge,
+    crossing interpolation, world-space placement, degenerate-face drop."""
+    X, Y, Z = values.shape
+    flat = values.ravel()
+    if len(lo) == 0:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+
     keys = lo * np.int64(X * Y * Z) + hi
     uniq, inverse = np.unique(keys, return_inverse=True)
     faces = inverse.reshape(-1, 3).astype(np.int32)

@@ -66,11 +66,38 @@ def test_slab_boundaries_are_seamless():
     """Slab-chunked extraction must agree exactly with one-shot extraction
     (the dedup keys are global lattice edges, so seams cannot appear)."""
     vals, origin, spacing = _sphere_field(n=25)
-    v1, f1 = marching_tetrahedra(vals, 0.0, origin, spacing, slab=4)
-    v2, f2 = marching_tetrahedra(vals, 0.0, origin, spacing, slab=1000)
+    v1, f1 = marching_tetrahedra(vals, 0.0, origin, spacing, slab=4,
+                                 native="never")
+    v2, f2 = marching_tetrahedra(vals, 0.0, origin, spacing, slab=1000,
+                                 native="never")
     # vertex indexing is canonical (sorted unique lattice-edge keys);
     # triangle EMISSION order depends on the slab split, so compare the
     # face sets with winding canonicalized to start at the smallest index
+    np.testing.assert_allclose(v1, v2)
+
+    def canon(f):
+        roll = np.argmin(f, axis=1)
+        rows = np.stack([f[np.arange(len(f)), (roll + k) % 3]
+                         for k in range(3)], axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+
+    np.testing.assert_array_equal(canon(f1), canon(f2))
+
+
+def test_native_scan_matches_numpy():
+    """The OpenMP C++ cell scan (native/meshing.cpp) and the numpy scan
+    produce the identical mesh — same vertices (dedup by sorted edge key
+    is canonical) and same face set — on a random field, which exercises
+    all 16 tet sign cases including degenerate exact-iso hits."""
+    from nerf_shared_tpu.ops import native_meshing
+
+    if not native_meshing.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(7)
+    vals = rng.normal(0, 1, (13, 11, 17)).astype(np.float32)
+    vals[3, 4, 5] = 0.0  # a lattice value exactly at iso (outside: v > iso)
+    v1, f1 = marching_tetrahedra(vals, 0.0, native="never")
+    v2, f2 = marching_tetrahedra(vals, 0.0, native="require")
     np.testing.assert_allclose(v1, v2)
 
     def canon(f):
