@@ -35,15 +35,15 @@ def run_eval(args):
     from nerf_shared_tpu.apps.train import render_only
     from nerf_shared_tpu.data.datasets import load_datasets
     from nerf_shared_tpu.data.images import resize_area
-    from nerf_shared_tpu.utils.metrics import ssim
+    from nerf_shared_tpu.utils.metrics import img2mse, mse2psnr, ssim
 
     # evaluation is against the held-out views by definition: force the
     # render_test pose swap (data/datasets.py) regardless of flags
     args.render_only = True
     args.render_test = True
-    outdir, rgbs = render_only(args, return_rgbs=True)
-
     ds = load_datasets(args)
+    outdir, rgbs = render_only(args, return_rgbs=True, ds=ds)
+
     gt = np.asarray(ds.images[ds.i_test], np.float32)
     rgbs = np.asarray(rgbs, np.float32)
     if rgbs.shape[0] != gt.shape[0]:
@@ -58,10 +58,12 @@ def run_eval(args):
 
     rows = []
     for i, (r, g) in enumerate(zip(rgbs, gt)):
-        mse = float(np.mean((r - g) ** 2))
+        # the shared metric definitions (utils/metrics.py); a bit-perfect
+        # render would be inf dB, which JSON can't carry — cap at 120
+        psnr = min(float(mse2psnr(img2mse(r, g))), 120.0)
         rows.append({
             "view": int(ds.i_test[i]),
-            "psnr": -10.0 * float(np.log10(max(mse, 1e-12))),
+            "psnr": psnr,
             "ssim": float(ssim(r, g)),
         })
     report = {

@@ -677,13 +677,15 @@ def _resolve_triplane_aabb(args, ds, H, W):
     print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
 
 
-def render_only(args, return_rgbs: bool = False):
+def render_only(args, return_rgbs: bool = False, ds=None):
     """Reload newest weights and render render_poses (or the test set) to
     PNGs + video, reference render_path semantics (utils.py:330-358, fixed).
     Returns the output directory; with ``return_rgbs`` also the float
     renders (the eval CLI computes metrics on these, not the saved 8-bit
-    PNGs)."""
-    ds = load_datasets(args)
+    PNGs). ``ds`` accepts a preloaded dataset so callers that need it too
+    (eval_cli) don't load the scene twice."""
+    if ds is None:
+        ds = load_datasets(args)
     H, W, focal = ds.hwf
     if args.render_factor > 0:
         H, W = H // args.render_factor, W // args.render_factor

@@ -34,6 +34,25 @@ import numpy as np
 # -----------------------------------------------------------------------------
 
 
+def _map_blocks(fn, arrays, block: int):
+    """lax.map ``fn`` over fixed-size blocks of the leading axis: pads the
+    [n, ...] arrays to a block multiple (with leading elements — results
+    beyond n are dropped), maps, and returns the flat first-n outputs.
+    The shared dispatch shape of every per-point sweep in this module."""
+    n = arrays[0].shape[0]
+    block = min(block, n)
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+
+    def prep(a):
+        if pad:
+            a = jnp.concatenate([a, a[:pad]], axis=0)
+        return a.reshape((n_blocks, block) + a.shape[1:])
+
+    out = jax.lax.map(fn, tuple(prep(a) for a in arrays))
+    return out.reshape((-1,) + out.shape[2:])[:n]
+
+
 def probe_density_grid(
     params,
     cfg,
@@ -62,39 +81,45 @@ def probe_density_grid(
     from nerf_shared_tpu.render.renderer import _apply_model
 
     r = int(resolution)
+    r1 = r + 1
     aabb_min = jnp.asarray(aabb_min, jnp.float32)
     aabb_max = jnp.asarray(aabb_max, jnp.float32)
-    ax = jnp.arange(r + 1, dtype=jnp.float32) / r
-    lattice = jnp.stack(jnp.meshgrid(ax, ax, ax, indexing="ij"), axis=-1)
-    pts = aabb_min + lattice.reshape(-1, 3) * (aabb_max - aabb_min)
 
-    n = pts.shape[0]
+    n = r1**3
     block = min(block, n)
     n_blocks = -(-n // block)
     n_shards = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
     n_blocks = -(-n_blocks // n_shards) * n_shards
-    pad = n_blocks * block - n
-    if pad:
-        reps = -(-pad // n) + 1
-        pts = jnp.tile(pts, (reps, 1))[: n + pad]
-    pts = pts.reshape(n_blocks, block, 3)
+    # only block START indices cross the host/device boundary — each
+    # block's lattice points are generated inside the jitted program, so
+    # device memory holds one block of points at a time, never the
+    # (R+1)^3 cloud (a 512^3 export would otherwise stage ~1.6 GB of
+    # coordinates onto one chip before the sharded sweep even starts)
+    starts = jnp.arange(n_blocks, dtype=jnp.int32) * block
 
     use_vd = getattr(cfg, "use_viewdirs", True)
     dummy_dirs = (
         jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32) if use_vd else None
     )
 
-    def sweep_local(params, pts):
-        def probe_block(p):
+    def sweep_local(params, starts):
+        def probe_block(start):
+            idx = start + jnp.arange(block, dtype=jnp.int32)
+            idx = jnp.minimum(idx, n - 1)  # pad tail re-probes the corner
+            ijk = jnp.stack(
+                [idx // (r1 * r1), (idx // r1) % r1, idx % r1], axis=-1
+            )
+            pts = aabb_min + ijk.astype(jnp.float32) / r * (
+                aabb_max - aabb_min)
             # sigma is viewdir-independent by architecture (the alpha head
             # reads the trunk only, reference nerf.py:83-90)
-            raw = _apply_model(params, cfg, p[None], dummy_dirs, rcfg)
+            raw = _apply_model(params, cfg, pts[None], dummy_dirs, rcfg)
             return raw[0, :, 3]
 
-        return jax.lax.map(probe_block, pts)
+        return jax.lax.map(probe_block, starts)
 
     if mesh is None:
-        sigma = jax.jit(sweep_local)(params, pts)
+        sigma = jax.jit(sweep_local)(params, starts)
     else:
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
@@ -104,10 +129,10 @@ def probe_density_grid(
             sweep_local, mesh=mesh,
             in_specs=(P(), P(axis)), out_specs=P(axis),
         )
-        sigma = jax.jit(sweep)(params, pts)
+        sigma = jax.jit(sweep)(params, starts)
 
     sigma = np.asarray(sigma).reshape(-1)[:n]
-    return sigma.reshape(r + 1, r + 1, r + 1)
+    return sigma.reshape(r1, r1, r1)
 
 
 # -----------------------------------------------------------------------------
@@ -368,14 +393,6 @@ def density_gradient_normals(
 
     if len(verts) == 0:
         return np.zeros((0, 3), np.float32)
-    pts = jnp.asarray(verts, jnp.float32)
-    n = pts.shape[0]
-    block = min(block, n)
-    n_blocks = -(-n // block)
-    pad = n_blocks * block - n
-    if pad:
-        pts = jnp.concatenate([pts, pts[:pad]], axis=0)
-    pts = pts.reshape(n_blocks, block, 3)
     use_vd = getattr(cfg, "use_viewdirs", True)
     dummy = (jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32)
              if use_vd else None)
@@ -386,14 +403,14 @@ def density_gradient_normals(
 
     @jax.jit
     def sweep(params, pts):
-        def grad_block(p):
-            g = jax.vmap(jax.grad(sigma_one))(p)
+        def grad_block(args):
+            g = jax.vmap(jax.grad(sigma_one))(args[0])
             return -g / jnp.maximum(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
 
-        return jax.lax.map(grad_block, pts)
+        return _map_blocks(grad_block, (pts,), block)
 
-    out = np.asarray(sweep(params, pts)).reshape(-1, 3)[:n]
+    out = np.asarray(sweep(params, jnp.asarray(verts, jnp.float32)))
     return out.astype(np.float32)
 
 
@@ -419,18 +436,6 @@ def vertex_colors(
         return np.zeros((0, 3), np.float32)
     if normals is None:
         normals = vertex_normals(verts, faces)
-    pts = jnp.asarray(verts, jnp.float32)
-    dirs = jnp.asarray(-normals, jnp.float32)
-
-    n = pts.shape[0]
-    block = min(block, n)
-    n_blocks = -(-n // block)
-    pad = n_blocks * block - n
-    if pad:
-        pts = jnp.concatenate([pts, pts[:pad]], axis=0)
-        dirs = jnp.concatenate([dirs, dirs[:pad]], axis=0)
-    pts = pts.reshape(n_blocks, block, 3)
-    dirs = dirs.reshape(n_blocks, block, 3)
     use_vd = getattr(cfg, "use_viewdirs", True)
 
     @jax.jit
@@ -443,9 +448,10 @@ def vertex_colors(
                                d if use_vd else None, rcfg)
             return jax.nn.sigmoid(raw[:, 0, :3])
 
-        return jax.lax.map(probe_block, (pts, dirs))
+        return _map_blocks(probe_block, (pts, dirs), block)
 
-    rgb = np.asarray(sweep(params, pts, dirs)).reshape(-1, 3)[:n]
+    rgb = np.asarray(sweep(params, jnp.asarray(verts, jnp.float32),
+                           jnp.asarray(-normals, jnp.float32)))
     return rgb.astype(np.float32)
 
 

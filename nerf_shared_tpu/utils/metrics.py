@@ -46,6 +46,10 @@ def ssim(
     if img0.ndim == 2:
         img0, img1 = img0[..., None], img1[..., None]
 
+    # degrade gracefully on images smaller than the window (tiny eval/test
+    # scenes): shrink the window to fit rather than crash — valid padding
+    # needs at least one full window per axis
+    filter_size = min(filter_size, img0.shape[0], img0.shape[1])
     hw = filter_size // 2
     shift = jnp.arange(filter_size, dtype=jnp.float32) - hw
     filt = jnp.exp(-0.5 * (shift / filter_sigma) ** 2)

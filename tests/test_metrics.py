@@ -50,6 +50,16 @@ def test_ssim_basic_properties():
     assert abs(float(ssim(a[..., 0], a[..., 0])) - 1.0) < 1e-6
 
 
+def test_ssim_images_smaller_than_window():
+    """Images below the 11x11 window shrink the window instead of crashing
+    (tiny validation scenes, --render_factor downscales)."""
+    rng = np.random.default_rng(2)
+    a = rng.random((8, 6, 3)).astype(np.float32)
+    assert abs(float(ssim(a, a)) - 1.0) < 1e-6
+    b = np.clip(a + rng.normal(0, 0.2, a.shape), 0, 1).astype(np.float32)
+    assert float(ssim(a, b)) < 1.0
+
+
 def test_psnr_roundtrip():
     mse = img2mse(np.float32([0.5]), np.float32([0.4]))
     np.testing.assert_allclose(float(mse2psnr(mse)), 20.0, atol=1e-4)
