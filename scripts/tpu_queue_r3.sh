@@ -31,7 +31,11 @@ q "4/5 occ_render_bench 800p (incl. triplane rows)"
 timeout 3600 python -u benchmarks/occ_render_bench.py > /tmp/render_bench_r3.out 2>&1
 q "4/5 done rc=$?"
 
-q "5/5 bench.py refresh"
+q "5/6 bench.py refresh"
 timeout 3600 python -u bench.py > /tmp/bench_r3.out 2>&1
-q "5/5 done rc=$?"
+q "5/6 done rc=$?"
+
+q "6/6 mesh-export bench (256^3 probe + native extract)"
+timeout 1800 python -u benchmarks/mesh_bench.py > /tmp/mesh_bench.out 2>&1
+q "6/6 done rc=$?"
 q "all done"
