@@ -397,14 +397,17 @@ def density_gradient_normals(
     dummy = (jnp.full((1, 3), 1.0 / np.sqrt(3.0), jnp.float32)
              if use_vd else None)
 
-    def sigma_one(p):  # scalar sigma at one point
-        raw = _apply_model(params, cfg, p[None, None], dummy, rcfg)
-        return raw[0, 0, 3]
-
     @jax.jit
     def sweep(params, pts):
         def grad_block(args):
-            g = jax.vmap(jax.grad(sigma_one))(args[0])
+            # sigma at a point depends only on that point, so the jacobian
+            # is diagonal: grad of SUM(sigma) recovers every per-point
+            # gradient in ONE model call (no vmap over the Pallas op)
+            def total_sigma(p):
+                raw = _apply_model(params, cfg, p[None], dummy, rcfg)
+                return jnp.sum(raw[0, :, 3])
+
+            g = jax.grad(total_sigma)(args[0])
             return -g / jnp.maximum(
                 jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
 
