@@ -61,7 +61,7 @@ def mesh_aabb(args, renderer, ds, H, W):
         return (np.array([-h, -h, -h], np.float32),
                 np.array([h, h, h], np.float32))
     if renderer.cfg.ndc:
-        return (np.array([-1.05, -1.05, -0.001], np.float32),
+        return (np.array([-1.05, -1.05, -1.001], np.float32),
                 np.array([1.05, 1.05, 1.001], np.float32))
     from nerf_shared_tpu.render.occupancy import aabb_from_poses
 

@@ -58,12 +58,15 @@ def _grid_select(args) -> str:
 
 def _occ_aabb(renderer, ds, H, W, K):
     """Scene AABB for occupancy grids: the camera-frustum hull in world
-    space, or the NDC cube (with a half-pixel margin) for NDC scenes —
-    LLFF models are trained on NDC points, so the grid must live there."""
+    space, or the NDC cube (with margins) for NDC scenes — LLFF models are
+    trained on NDC points, so the grid must live there. NDC z' = 2t-1
+    spans [-1, 1]: the near HALF of every ray has z' < 0 (LLFF scenes put
+    their closest content there), so the box must cover it or lookup()
+    treats that content as empty."""
     import numpy as _np
 
     if renderer.cfg.ndc:
-        return (_np.array([-1.05, -1.05, -0.001], _np.float32),
+        return (_np.array([-1.05, -1.05, -1.001], _np.float32),
                 _np.array([1.05, 1.05, 1.001], _np.float32))
     from nerf_shared_tpu.render.occupancy import aabb_from_poses
 

@@ -26,9 +26,10 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
         if (getattr(args, "dataset_type", "") == "llff"
                 and not getattr(args, "no_ndc", True)):
             # NDC scenes: the model is trained on NDC points, which live in
-            # [-1,1]^2 x [0,1] — an asymmetric box (same margins as
-            # apps/train._occ_aabb) instead of wasting half the z planes
-            aabb_min = (-1.05, -1.05, -0.001)
+            # [-1,1]^3 — the warped ray is o'+t·d' with z' = 2t-1, so t=0
+            # (the near plane, where LLFF scenes put their closest content)
+            # sits at z' = -1 (same box as apps/train._occ_aabb)
+            aabb_min = (-1.05, -1.05, -1.001)
             aabb_max = (1.05, 1.05, 1.001)
         else:
             half = float(getattr(args, "triplane_aabb", 0.0)) or 4.5

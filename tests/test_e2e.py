@@ -544,7 +544,7 @@ def test_e2e_triplane_llff_ndc(tmp_path, capsys):
 
     args = config_parser().parse_args(["--config", cfg])
     ccfg, _ = nerf_configs(args)
-    assert ccfg.aabb_min == (-1.05, -1.05, -0.001)
+    assert ccfg.aabb_min == (-1.05, -1.05, -1.001)
 
     outdir = render_only(config_parser().parse_args(
         ["--config", cfg, "--render_only", "--render_test",

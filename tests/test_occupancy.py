@@ -381,3 +381,45 @@ def test_weighted_select_requires_sigma():
         O.render_flat_rays_occ(_rays(8), model, occ, _rcfg(), ccfg,
                                chunk=8, n_candidates=8, n_keep=4,
                                select="weighted")
+
+
+def test_ndc_aabb_covers_full_ndc_sample_range():
+    """Regression: the NDC warp puts t=0 (the near plane, where LLFF
+    scenes hold their CLOSEST content) at z' = -1, so every NDC AABB in
+    the tree must span z' in [-1, 1] — a z in [0, 1] box silently marks
+    the near half of every ray 'outside = unoccupied' in lookup() and
+    clamps triplane decoding onto the z=0 plane edge."""
+    from types import SimpleNamespace
+
+    from nerf_shared_tpu.apps.train import _occ_aabb
+    from nerf_shared_tpu.factory import nerf_configs
+    from nerf_shared_tpu.ops.rays import get_rays, ndc_rays
+
+    H, W, f = 24, 32, 30.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    ro, rd = get_rays(H, W, K, jnp.eye(4)[:3, :4])
+    ro, rd = ndc_rays(H, W, f, 1.0, ro.reshape(-1, 3), rd.reshape(-1, 3))
+    pts = np.concatenate(
+        [np.asarray(ro + t * rd) for t in (0.0, 0.25, 0.5, 1.0)])
+
+    renderer = SimpleNamespace(cfg=SimpleNamespace(ndc=True))
+    lo, hi = _occ_aabb(renderer, None, H, W, K)
+    assert (pts >= lo).all() and (pts <= hi).all()
+
+    # the occupancy grid over that box actually sees near-half points
+    g = O.OccupancyGrid(
+        jnp.ones((4, 4, 4), bool), jnp.asarray(lo), jnp.asarray(hi), None)
+    near_half = jnp.asarray(pts[pts[:, 2] < 0.0])
+    assert near_half.shape[0] > 0
+    assert bool(O.lookup(g, near_half).all())
+
+    # triplane NDC box agrees (factory.nerf_configs llff/ndc branch)
+    args = SimpleNamespace(
+        model_type="triplane", dataset_type="llff", no_ndc=False,
+        triplane_res=8, triplane_feat=2, triplane_hidden=4,
+        triplane_depth=2, use_viewdirs=True, multires_views=2, i_embed=0,
+        N_importance=8, triplane_aabb=0.0,
+    )
+    tcfg, _ = nerf_configs(args)
+    assert (pts >= np.asarray(tcfg.aabb_min)).all()
+    assert (pts <= np.asarray(tcfg.aabb_max)).all()
