@@ -13,8 +13,11 @@ resolutions included), probes sigma on device, and isosurfaces on host
 (ops/meshing.py).
 
 Note on NDC scenes (LLFF without --no_ndc): the field is trained in NDC
-space, so the mesh comes out in NDC coordinates — geometrically valid but
-perspectively warped relative to the world.
+space, so by default the mesh comes out in NDC coordinates — geometrically
+valid but perspectively warped relative to the world. Pass ``--mesh_world``
+to invert the warp (ops/meshing.ndc_points_to_world): vertices map back to
+the recentered LLFF world frame, winding flips (the warp reverses
+handedness), and gradient normals transform covariantly.
 """
 
 from __future__ import annotations
@@ -49,6 +52,11 @@ def extend_parser_for_mesh(parser: ConfigArgumentParser) -> ConfigArgumentParser
                         help="export per-vertex normals: area-weighted "
                              "face normals or the smoother density "
                              "gradient -∇sigma/|∇sigma|")
+    parser.add_argument("--mesh_world", action="store_true",
+                        help="NDC scenes only: invert the projective NDC "
+                             "warp so the mesh lands in the recentered "
+                             "LLFF world frame (far content clips to the "
+                             "z'=0.999 shell); no-op for non-NDC scenes")
     return parser
 
 
@@ -81,6 +89,8 @@ def run_mesh(args):
     from nerf_shared_tpu.ops.meshing import (
         density_gradient_normals,
         extract_mesh,
+        ndc_normals_to_world,
+        ndc_points_to_world,
         save_mesh,
         vertex_colors,
         vertex_normals,
@@ -123,16 +133,44 @@ def run_mesh(args):
         mesh=dev_mesh,
     )
 
+    is_ndc = bool(renderer.cfg.ndc)
+    if args.mesh_world and not is_ndc:
+        print("--mesh_world: scene is not NDC; mesh is already world-space")
+    unwarp = args.mesh_world and is_ndc and len(verts) > 0
+
+    # gradient normals are level-set gradients of the density, which lives
+    # on NDC coordinates for NDC scenes — compute them in model space
     normals = None
-    if len(verts) and args.mesh_normals == "face":
-        normals = vertex_normals(verts, faces)
-    elif len(verts) and args.mesh_normals == "grad":
+    if len(verts) and args.mesh_normals == "grad":
         normals = density_gradient_normals(params, cfg, renderer.cfg, verts,
                                            block=args.mesh_block)
+
+    # world-space geometry; NDC models condition on PRE-warp view
+    # directions (renderer.py:461-471), so color baking on an NDC scene
+    # needs world normals for its viewdirs even without --mesh_world
+    world_verts = world_faces = world_normals = None
+    if unwarp or (is_ndc and args.mesh_color and len(verts)):
+        focal = float(np.asarray(ds.K)[0][0])
+        world_verts = ndc_points_to_world(verts, H, W, focal)
+        world_faces = faces[:, ::-1].copy()  # the NDC warp flips handedness
+        if normals is not None:
+            world_normals = ndc_normals_to_world(verts, normals, H, W, focal)
+        else:
+            world_normals = vertex_normals(world_verts, world_faces)
+
     colors = None
     if args.mesh_color and len(verts):
         colors = vertex_colors(params, cfg, renderer.cfg, verts, faces,
-                               block=args.mesh_block, normals=normals)
+                               block=args.mesh_block,
+                               normals=world_normals if is_ndc else normals)
+
+    if unwarp:
+        verts, faces = world_verts, world_faces
+        if args.mesh_normals != "none":
+            normals = world_normals
+        print("unwarped NDC mesh to world coordinates (z' clipped at 0.999)")
+    if len(verts) and args.mesh_normals == "face" and normals is None:
+        normals = vertex_normals(verts, faces)
 
     out = args.mesh_out or os.path.join(
         args.basedir, args.expname, f"mesh_{start:06d}.obj")

@@ -459,6 +459,67 @@ def vertex_colors(
 
 
 # -----------------------------------------------------------------------------
+# NDC unwarp (LLFF forward-facing scenes)
+# -----------------------------------------------------------------------------
+
+
+def ndc_points_to_world(
+    pts: np.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    near: float = 1.0,
+    z_clip: float = 0.999,
+) -> np.ndarray:
+    """Invert the projective NDC warp for POINTS (host-side numpy).
+
+    ``ops/rays.ndc_rays`` (reference utils.py:54-71) maps a world point
+    ``p`` (camera-facing, ``p_z < 0``) to ``(-2f/W * p_x/p_z,
+    -2f/H * p_y/p_z, 1 + 2n/p_z)``, so the exact inverse is
+    ``p_z = 2n/(z'-1)``, ``p_x = -x' * p_z * W/(2f)``, ``p_y = -y' * p_z
+    * H/(2f)``. NDC ``z'`` approaches 1 at infinite depth — vertices are
+    clipped to ``z' <= z_clip`` (depth ``2n/(1-z_clip)``) so far-plane
+    geometry lands on a finite far shell instead of exploding."""
+    pts = np.asarray(pts, np.float32)
+    zp = np.minimum(pts[:, 2], np.float32(z_clip))
+    wz = 2.0 * near / (zp - 1.0)
+    wx = -pts[:, 0] * wz * W / (2.0 * focal)
+    wy = -pts[:, 1] * wz * H / (2.0 * focal)
+    return np.stack([wx, wy, wz], axis=-1).astype(np.float32)
+
+
+def ndc_normals_to_world(
+    pts_ndc: np.ndarray,
+    normals_ndc: np.ndarray,
+    H: int,
+    W: int,
+    focal: float,
+    near: float = 1.0,
+    z_clip: float = 0.999,
+) -> np.ndarray:
+    """Transform level-set NORMALS through the NDC unwarp.
+
+    The density lives on NDC coordinates, so its isosurface normal is an
+    NDC-space gradient; gradients are covariant, i.e. ``n_world =
+    J^T n_ndc`` where ``J`` is the Jacobian of the world->NDC map at the
+    world point (NOT the plain inverse map applied to the vector). This
+    keeps ``-grad sigma`` pointing out of the unwarped surface."""
+    p = ndc_points_to_world(pts_ndc, H, W, focal, near, z_clip)
+    a = 2.0 * focal / W
+    b = 2.0 * focal / H
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    nx = np.asarray(normals_ndc[:, 0], np.float32)
+    ny = np.asarray(normals_ndc[:, 1], np.float32)
+    nz = np.asarray(normals_ndc[:, 2], np.float32)
+    wx = -a / pz * nx
+    wy = -b / pz * ny
+    wz = (a * px * nx + b * py * ny - 2.0 * near * nz) / (pz * pz)
+    n = np.stack([wx, wy, wz], axis=-1)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    return (n / np.maximum(norm, 1e-12)).astype(np.float32)
+
+
+# -----------------------------------------------------------------------------
 # Export
 # -----------------------------------------------------------------------------
 

@@ -369,3 +369,162 @@ def test_mesh_cli_end_to_end(tmp_path, family):
     assert path == out and os.path.exists(out)
     assert len(verts) > 0 and len(faces) > 0
     assert np.isfinite(verts).all()
+
+
+# -----------------------------------------------------------------------------
+# NDC unwarp
+# -----------------------------------------------------------------------------
+
+
+def test_ndc_unwarp_inverts_ray_points():
+    """Points along a warped NDC ray unwarp back ONTO the world ray:
+    ndc_points_to_world composed with ops/rays.ndc_rays is the identity on
+    ray geometry (reference utils.py:54-71 is the forward map)."""
+    import jax.numpy as jnp
+
+    from nerf_shared_tpu.ops.meshing import ndc_points_to_world
+    from nerf_shared_tpu.ops.rays import get_rays, ndc_rays
+
+    H, W, f = 12, 18, 20.0
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1.0]])
+    c2w = np.eye(4)[:3, :4].copy()
+    c2w[:, 3] = [0.3, -0.2, 0.5]
+    ro, rd = get_rays(H, W, K, jnp.asarray(c2w))
+    ro = np.asarray(ro).reshape(-1, 3)
+    rd = np.asarray(rd).reshape(-1, 3)
+    no, nd = ndc_rays(H, W, f, 1.0, jnp.asarray(ro), jnp.asarray(rd))
+    no, nd = np.asarray(no), np.asarray(nd)
+    # world origins shifted to the near plane, the same shift ndc_rays does
+    t = -(1.0 + ro[:, 2]) / rd[:, 2]
+    ro_n = ro + t[:, None] * rd
+    for tp in (0.0, 0.3, 0.8):
+        pw = ndc_points_to_world(no + tp * nd, H, W, f, z_clip=1.0)
+        v = pw - ro_n
+        # on the ray: v parallel to rd, at non-negative arc length
+        assert np.abs(np.cross(v, rd)).max() < 2e-3
+        s = np.einsum("ij,ij->i", v, rd) / np.einsum("ij,ij->i", rd, rd)
+        assert (s >= -1e-4).all()
+
+
+def test_ndc_normals_covariant_matches_world_gradient():
+    """A density defined on NDC coordinates has world-space level-set
+    normal J^T n_ndc (J = Jacobian of the world->NDC map): check
+    ndc_normals_to_world against finite differences of sigma(warp(p))."""
+    from nerf_shared_tpu.ops.meshing import (
+        ndc_normals_to_world,
+        ndc_points_to_world,
+    )
+
+    H, W, f = 14, 10, 16.0
+
+    def sigma_ndc(q):
+        return (np.sin(2.1 * q[..., 0])
+                + 0.7 * np.cos(1.3 * q[..., 1]) * q[..., 2]
+                + q[..., 2] ** 2)
+
+    rng = np.random.default_rng(1)
+    q = rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+
+    eye = np.eye(3)
+    eps = 1e-4
+    gn = np.stack([(sigma_ndc(q + eps * e) - sigma_ndc(q - eps * e))
+                   / (2 * eps) for e in eye], -1)
+    n_ndc = gn / np.linalg.norm(gn, axis=1, keepdims=True)
+    n_world = ndc_normals_to_world(q, n_ndc, H, W, f)
+
+    def warp(pw):
+        return np.stack([
+            -2.0 * f / W * pw[..., 0] / pw[..., 2],
+            -2.0 * f / H * pw[..., 1] / pw[..., 2],
+            1.0 + 2.0 / pw[..., 2],
+        ], -1)
+
+    p = ndc_points_to_world(q, H, W, f, z_clip=1.0).astype(np.float64)
+    gw = np.stack([(sigma_ndc(warp(p + eps * e)) - sigma_ndc(warp(p - eps * e)))
+                   / (2 * eps) for e in eye], -1)
+    gw = gw / np.linalg.norm(gw, axis=1, keepdims=True)
+    dots = np.einsum("ij,ij->i", n_world.astype(np.float64), gw)
+    assert np.abs(dots - 1.0).max() < 5e-3
+
+
+def test_ndc_unwarp_winding_flip_restores_outwardness():
+    """The NDC warp reverses handedness (det J < 0), so an outward-wound
+    NDC mesh is inward in world space; faces[:, ::-1] restores it."""
+    from nerf_shared_tpu.ops.meshing import ndc_points_to_world
+
+    n = 21
+    ax = np.linspace(-0.4, 0.4, n).astype(np.float32)
+    g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+    c = np.array([0.05, -0.05, 0.0], np.float32)
+    vals = 0.25 - np.linalg.norm(g - c, axis=-1)
+    verts, faces = marching_tetrahedra(
+        vals, 0.0, origin=(-0.4, -0.4, -0.4), spacing=(0.8 / (n - 1),) * 3)
+
+    wv = ndc_points_to_world(verts, 16, 16, 20.0)
+
+    def outward_frac(f_arr):
+        fn = np.cross(wv[f_arr[:, 1]] - wv[f_arr[:, 0]],
+                      wv[f_arr[:, 2]] - wv[f_arr[:, 0]])
+        fc = wv[f_arr].mean(1)
+        return (np.einsum("ij,ij->i", fn, fc - wv.mean(0)) > 0).mean()
+
+    assert outward_frac(faces) < 0.02          # unflipped: inside-out
+    assert outward_frac(faces[:, ::-1]) > 0.98  # flipped: outward again
+
+
+def test_mesh_cli_ndc_world_unwarp(tmp_path, capsys):
+    """LLFF/NDC scene through the mesh CLI with --mesh_world: the export
+    runs end-to-end and vertices land in front of the camera cluster
+    (world z < 0 for every unwarped vertex)."""
+    from nerf_shared_tpu.apps.mesh_cli import main as mesh_main
+    from nerf_shared_tpu.apps.train import run as train_run
+    from nerf_shared_tpu.config import config_parser
+
+    from tests.test_e2e import _write_llff_scene
+
+    root = str(tmp_path)
+    datadir = _write_llff_scene(root)
+    cfg = os.path.join(root, "llff.txt")
+    with open(cfg, "w") as fh:
+        fh.write("\n".join([
+            "expname = llff_mesh",
+            f"basedir = {os.path.join(root, 'logs')}",
+            f"datadir = {datadir}",
+            "dataset_type = llff",
+            "training = True",
+            "factor = 1",
+            "llffhold = 3",
+            "use_viewdirs = True",
+            "N_samples = 8",
+            "N_importance = 8",
+            "N_rand = 64",
+            "netdepth = 2",
+            "netwidth = 32",
+            "netdepth_fine = 2",
+            "netwidth_fine = 32",
+            "multires = 4",
+            "multires_views = 2",
+            "N_iters = 16",
+            "i_print = 8",
+            "i_weights = 16",
+            "i_testset = 0",
+            "i_img = 0",
+            "i_video = 0",
+        ]) + "\n")
+    train_run(config_parser().parse_args(["--config", cfg]))
+
+    out = os.path.join(root, "ndc_world.obj")
+    _, verts, faces = mesh_main([
+        "--config", cfg,
+        "--mesh_res", "20",
+        "--mesh_iso", "0.0",
+        "--mesh_out", out,
+        "--mesh_world",
+        "--mesh_normals", "grad",
+    ])
+    assert os.path.exists(out)
+    assert "unwarped NDC mesh to world coordinates" in capsys.readouterr().out
+    assert np.isfinite(verts).all()
+    if len(verts):
+        # every unwarped vertex is in front of the forward-facing cluster
+        assert (verts[:, 2] < 0).all()
