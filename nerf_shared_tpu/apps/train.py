@@ -178,6 +178,17 @@ def train(args):
         renderer.cfg, use_pallas=False, fused_backward=fused_bwd
     )
     train_occ = bool(getattr(args, "train_occ", False))
+    if getattr(args, "proposal", False):
+        if train_occ:
+            raise SystemExit(
+                "--proposal and --train_occ are alternative accelerants: "
+                "the occ trainer is fine-only (no coarse branch to "
+                "propose for) and the two-phase seed copy assumes "
+                "same-shape coarse/fine nets")
+        print(f"proposal sampler: coarse branch is a density-only "
+              f"{args.proposal_depth}x{args.proposal_width} MLP "
+              f"(interlevel loss weight "
+              f"{getattr(args, 'proposal_loss_weight', 1.0)})")
     if train_occ:
         # occupancy-gated trainer (train/occ_train.py): grid-triaged
         # fine-only sampling replaces the coarse+fine hierarchy — several-x
@@ -256,6 +267,7 @@ def train(args):
             rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
             acc_reg=getattr(args, "acc_loss_weight", 0.0),
             tv_reg=getattr(args, "tv_loss_weight", 0.0),
+            prop_reg=getattr(args, "proposal_loss_weight", 1.0),
         )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
@@ -269,6 +281,7 @@ def train(args):
             rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
             acc_reg=getattr(args, "acc_loss_weight", 0.0),
             tv_reg=getattr(args, "tv_loss_weight", 0.0),
+            prop_reg=getattr(args, "proposal_loss_weight", 1.0),
         )
         print(f"two-phase schedule: occ-gated until step {occ_until}, "
               f"hierarchical after")
@@ -469,6 +482,7 @@ def train(args):
                 rcfg, ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
                 acc_reg=getattr(args, "acc_loss_weight", 0.0),
                 tv_reg=getattr(args, "tv_loss_weight", 0.0),
+                prop_reg=getattr(args, "proposal_loss_weight", 1.0),
             )
             if _mk_dense_hook is not None:
                 sharded_hook = _mk_dense_hook(ccfg, fcfg)

@@ -232,6 +232,22 @@ def config_parser() -> ConfigArgumentParser:
                              "--train_occ). Start resolution = "
                              "--triplane_res; resume infers the current "
                              "resolution from the checkpoint")
+    parser.add_argument("--proposal", type=_str2bool, default=False,
+                        help='replace the hierarchical coarse NeRF with a '
+                             'small density-only PROPOSAL net (mip-NeRF '
+                             '360 style): it only drives sample_pdf, '
+                             'trained by the interlevel histogram loss '
+                             'instead of a coarse mse — cuts the coarse '
+                             'branch from ~25%% of the step\'s MLP FLOPs '
+                             'to ~1%%. Requires N_importance > 0; MLP '
+                             'family only')
+    parser.add_argument("--proposal_depth", type=int, default=2,
+                        help='proposal MLP depth (layers)')
+    parser.add_argument("--proposal_width", type=int, default=64,
+                        help='proposal MLP width')
+    parser.add_argument("--proposal_loss_weight", type=float, default=1.0,
+                        help='interlevel histogram loss weight (mip-NeRF '
+                             '360 uses 1.0)')
     parser.add_argument("--tv_loss_weight", type=float, default=0.0,
                         help='total-variation smoothness weight over grid-'
                              'family feature planes (TensoRF/DVGO '

@@ -21,6 +21,10 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
     (reference utils.py:119-139; output_ch=5 quirk kept for parity — it only
     matters when use_viewdirs=False, reference nerf.py:94)."""
     if getattr(args, "model_type", "nerf") == "triplane":
+        if getattr(args, "proposal", False):
+            raise ValueError(
+                "--proposal currently targets the MLP family; the triplane "
+                "coarse branch is already cheap (shared planes)")
         from nerf_shared_tpu.models.triplane import TriplaneConfig
 
         if (getattr(args, "dataset_type", "") == "llff"
@@ -50,16 +54,37 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
         # > 0) importance-samples from an identical coarse triplane
         return tcfg, (tcfg if args.N_importance > 0 else None)
     output_ch = 5 if args.N_importance > 0 else 4
-    ccfg = NeRFConfig(
-        D=args.netdepth,
-        W=args.netwidth,
-        output_ch=output_ch,
-        skips=(4,),
-        use_viewdirs=args.use_viewdirs,
-        multires=args.multires,
-        multires_views=args.multires_views,
-        i_embed=args.i_embed,
-    )
+    if getattr(args, "proposal", False):
+        if args.N_importance <= 0:
+            raise ValueError(
+                "--proposal replaces the hierarchical coarse branch and "
+                "needs N_importance > 0")
+        # proposal sampler (mip-NeRF 360 style): the coarse branch is a
+        # small DENSITY-ONLY MLP — same param/apply machinery as the NeRF
+        # family, so checkpoints, the .tar interop, and every render path
+        # work unchanged; only its size and the training loss differ
+        # (train/step.nerf_loss adds the interlevel histogram loss)
+        ccfg = NeRFConfig(
+            D=int(getattr(args, "proposal_depth", 2)),
+            W=int(getattr(args, "proposal_width", 64)),
+            output_ch=4,
+            skips=(4,),
+            use_viewdirs=False,
+            multires=args.multires,
+            multires_views=args.multires_views,
+            i_embed=args.i_embed,
+        )
+    else:
+        ccfg = NeRFConfig(
+            D=args.netdepth,
+            W=args.netwidth,
+            output_ch=output_ch,
+            skips=(4,),
+            use_viewdirs=args.use_viewdirs,
+            multires=args.multires,
+            multires_views=args.multires_views,
+            i_embed=args.i_embed,
+        )
     fcfg = None
     if args.N_importance > 0:
         fcfg = NeRFConfig(
@@ -106,6 +131,7 @@ def get_renderer(args, bds_dict) -> Renderer:
         fused_composite=use_pallas
         and bool(getattr(args, "fused_composite", False)),
         remat=bool(getattr(args, "remat", False)),
+        proposal=bool(getattr(args, "proposal", False)),
         **bds_dict,
     )
 

@@ -185,6 +185,13 @@ class RenderConfig:
     # hardware where the trade flips; correctness is pinned by tests either
     # way.
     fused_composite: bool = False
+    # the coarse branch is a PROPOSAL network (mip-NeRF 360 style): a small
+    # density-only MLP whose weights drive sample_pdf but render no rgb —
+    # trained by the interlevel histogram loss instead of a coarse mse.
+    # Replaces the reference's full-size coarse NeRF (~25% of the step's
+    # MLP FLOPs) with a ~1% net. No reference counterpart; requires
+    # N_importance > 0 and a density-only ccfg (factory.nerf_configs).
+    proposal: bool = False
 
 
 def render_rays(
@@ -230,6 +237,7 @@ def render_rays(
     )  # [N, S]
 
     ret: Dict[str, jnp.ndarray] = {}
+    proposal = rcfg.proposal and rcfg.N_importance > 0
     # with N_importance == 0 the coarse pass IS the final pass and owns the
     # retraw/'raw' contract
     coarse_needs_raw = retraw_coarse or (retraw and rcfg.N_importance == 0)
@@ -237,7 +245,23 @@ def render_rays(
     # it must emit weights for sample_pdf anyway, and at S=64 the in-kernel
     # composite runs ~55 Mpts/s vs ~70 at S=192 (per-ray tile overheads
     # amortize over 3x fewer samples) — measured slower end-to-end
-    if rcfg.N_importance == 0 and _fused_render_eligible(
+    if proposal:
+        # proposal pass: density-only MLP (ccfg.use_viewdirs=False), sized
+        # ~1% of the fine net — the Pallas kernels target the 8x256 family,
+        # so the tiny net takes the plain XLA path (its matmuls are small
+        # enough that XLA is already at the roofline)
+        prop_rcfg = dataclasses.replace(
+            rcfg, use_pallas=False, fused_backward=False,
+            fused_composite=False)
+        raw = _apply_model_rays(params_coarse, ccfg, rays_o, rays_d, z_vals,
+                                None, prop_rcfg)
+        rgb_map, disp_map, acc_map, weights, _ = _composite(
+            raw, z_vals, rays_d, rcfg, k_noise_c,
+            overrides.get("noise_coarse")
+        )
+        if retraw_coarse:
+            ret["raw0"] = raw
+    elif rcfg.N_importance == 0 and _fused_render_eligible(
             rcfg, z_vals, overrides.get("noise_coarse"),
             need_raw=coarse_needs_raw):
         rgb_map, disp_map, acc_map, weights, _ = _apply_render_fused(
@@ -255,6 +279,11 @@ def render_rays(
             ret["raw0"] = raw
     if rcfg.N_importance > 0:
         rgb_map_0, disp_map_0, acc_map_0 = rgb_map, disp_map, acc_map
+        if proposal and retweights:
+            # the interlevel loss needs the proposal histogram before the
+            # merge overwrites z_vals (train/step.nerf_loss)
+            ret["weights0"] = weights
+            ret["z_vals0"] = z_vals
 
         z_vals_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
         z_samples = sample_pdf(
@@ -288,9 +317,13 @@ def render_rays(
                 raw, z_vals, rays_d, rcfg, k_noise_f,
                 overrides.get("noise_fine")
             )
-        ret["rgb0"] = rgb_map_0
-        ret["disp0"] = disp_map_0
-        ret["acc0"] = acc_map_0
+        if not proposal:
+            # a proposal coarse branch has no trained rgb head — exporting
+            # its garbage colors as 'rgb0' would poison the coarse mse and
+            # any consumer of the coarse render
+            ret["rgb0"] = rgb_map_0
+            ret["disp0"] = disp_map_0
+            ret["acc0"] = acc_map_0
         ret["z_std"] = jnp.std(z_samples, axis=-1)
 
     ret["rgb_map"] = rgb_map
@@ -363,6 +396,7 @@ class Renderer:
         remat: bool = False,
         fused_backward: bool = False,
         fused_composite: bool = False,
+        proposal: bool = False,
     ):
         self.cfg = RenderConfig(
             perturb=float(perturb),
@@ -380,6 +414,7 @@ class Renderer:
             remat=bool(remat),
             fused_backward=bool(fused_backward),
             fused_composite=bool(fused_composite),
+            proposal=bool(proposal),
         )
         self._training = True
 
@@ -543,6 +578,12 @@ class Renderer:
     ):
         """Full-image render with coarse-gated fine-pass skipping
         (render/gated.py): returns (rgb [H,W,3], extras dict)."""
+        if self.cfg.proposal:
+            raise ValueError(
+                "the gated renderer keeps the coarse rgb for sub-threshold "
+                "rays; under --proposal the coarse branch is density-only "
+                "(its rgb head is untrained) — use the dense or occ/froxel "
+                "render paths instead")
         from nerf_shared_tpu.render.gated import render_flat_rays_gated
 
         pc, ccfg = _model_parts(coarse_model)

@@ -61,8 +61,15 @@ def nerf_loss(
     fcfg: Optional[NeRFConfig],
     acc_reg: float = 0.0,
     tv_reg: float = 0.0,
+    prop_reg: float = 1.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98).
+
+    Under ``rcfg.proposal`` the coarse branch is a density-only proposal
+    net: there is no coarse mse (no 'rgb0' is returned) — instead
+    ``prop_reg`` weights the interlevel histogram loss
+    (ops/compositing.interlevel_loss) that trains the proposal to bound
+    the fine histogram, mip-NeRF 360 style.
 
     ``acc_reg`` > 0 adds a density-sparsity term acc_reg * mean(log(1+2σ²))
     (the Cauchy prior of the original NeRF codebase) over the sampled raw
@@ -82,10 +89,19 @@ def nerf_loss(
         fcfg,
         retraw=acc_reg > 0.0,
         retraw_coarse=acc_reg > 0.0,
+        retweights=rcfg.proposal,
     )
     img_loss = img2mse(ret["rgb_map"], target)
     loss = img_loss
     aux = {"img_loss": img_loss, "psnr": mse2psnr(img_loss)}
+    if "weights0" in ret:
+        from nerf_shared_tpu.ops.compositing import interlevel_loss
+
+        prop_loss = interlevel_loss(
+            ret["z_vals0"], ret["weights0"], ret["z_vals"], ret["weights"]
+        )
+        loss = loss + prop_reg * prop_loss
+        aux["prop_loss"] = prop_loss
     if "rgb0" in ret:
         img_loss0 = img2mse(ret["rgb0"], target)
         loss = loss + img_loss0
@@ -127,6 +143,7 @@ def make_train_step(
     donate: bool = True,
     acc_reg: float = 0.0,
     tv_reg: float = 0.0,
+    prop_reg: float = 1.0,
 ):
     """Single-device jitted step over an explicit ray batch.
 
@@ -140,7 +157,8 @@ def make_train_step(
 
         def loss_fn(params):
             return nerf_loss(params, ray_batch, target, key, rcfg, ccfg, fcfg,
-                             acc_reg=acc_reg, tv_reg=tv_reg)
+                             acc_reg=acc_reg, tv_reg=tv_reg,
+                             prop_reg=prop_reg)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
@@ -211,6 +229,7 @@ def make_fused_train_step(
     donate: bool = True,
     acc_reg: float = 0.0,
     tv_reg: float = 0.0,
+    prop_reg: float = 1.0,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -258,7 +277,7 @@ def make_fused_train_step(
         def loss_fn(params):
             return nerf_loss(
                 params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
-                acc_reg=acc_reg, tv_reg=tv_reg,
+                acc_reg=acc_reg, tv_reg=tv_reg, prop_reg=prop_reg,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -874,3 +874,53 @@ def test_e2e_train_occ_ndc_llff(tmp_path, capsys):
     assert pngs
     img = np.asarray(imageio.imread(pngs[0]), np.float32)
     assert np.isfinite(img).all()
+
+def test_e2e_proposal_cli(tmp_path, capsys):
+    """--proposal through the full CLI: fused train with the interlevel loss,
+    checkpoint (the coarse tree is the small density-only net), resume, and
+    render_only — the proposal analogue of the basic e2e slice."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, expname="tiny_prop", proposal=True,
+        proposal_depth=2, proposal_width=16, raw_noise_std=1.0,
+    )
+
+    args = config_parser().parse_args(["--config", cfg_path])
+    run(args)
+    out = capsys.readouterr().out
+    assert "proposal sampler" in out
+
+    expdir = os.path.join(logdir, "tiny_prop")
+    assert glob.glob(os.path.join(expdir, "*.ckpt.npz"))
+    assert glob.glob(os.path.join(expdir, "*.tar"))
+
+    # resume continues from the proposal-shaped checkpoint
+    args2 = config_parser().parse_args(["--config", cfg_path,
+                                        "--N_iters", "32"])
+    run(args2)
+
+    # render_only renders through the fine net (no coarse rgb exported)
+    args3 = config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256"]
+    )
+    outdir = render_only(args3)
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert len(pngs) == 2
+
+
+def test_e2e_proposal_excludes_occ_trainer(tmp_path):
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(root, datadir, os.path.join(root, "logs"),
+                             expname="tiny_prop_occ", proposal=True,
+                             train_occ=True)
+    args = config_parser().parse_args(["--config", cfg_path])
+    with pytest.raises(SystemExit, match="alternative accelerants"):
+        run(args)
