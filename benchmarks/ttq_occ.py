@@ -97,6 +97,20 @@ def main():
                     help="candidate budgeting: weight the occ trainer's "
                          "random-K selection by the EMA density")
     ap.add_argument("--skip_hierarchical", action="store_true")
+    ap.add_argument("--skip_occ", action="store_true",
+                    help="skip the occupancy-gated row (e.g. to measure "
+                         "only the hierarchical/proposal row)")
+    ap.add_argument("--proposal", action="store_true",
+                    help="hierarchical row uses the mip-NeRF 360-style "
+                         "proposal sampler: density-only coarse MLP + "
+                         "interlevel loss (--proposal in the CLI) — same "
+                         "fine net and eval protocol, ~25%% fewer step "
+                         "MLP FLOPs")
+    ap.add_argument("--proposal_width", type=int, default=64)
+    ap.add_argument("--proposal_depth", type=int, default=2)
+    ap.add_argument("--netdepth", type=int, default=8,
+                    help="MLP depth (smaller for CPU smoke tests)")
+    ap.add_argument("--netwidth", type=int, default=256)
     ap.add_argument("--scene", type=str, default="spheres",
                     choices=("spheres", "hard"),
                     help="'hard' = the checkerboard+thin-rod stress scene "
@@ -119,8 +133,8 @@ def main():
                              aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
         on_tpu = False  # Pallas kernels are MLP-family only; XLA autodiff
     else:
-        cfg = NeRFConfig(D=8, W=256, use_viewdirs=True, multires=10,
-                         multires_views=4, skips=(4,))
+        cfg = NeRFConfig(D=a.netdepth, W=a.netwidth, use_viewdirs=True,
+                         multires=10, multires_views=4, skips=(4,))
     spec = PixelSamplerSpec.from_K(H, W, K, a.n_rand, single_image=True,
                                    precrop_iters=a.precrop_iters,
                                    precrop_frac=a.precrop_frac)
@@ -134,23 +148,36 @@ def main():
     # ---- baseline: reference-semantics hierarchical step ----
     rcfg = RenderConfig(N_samples=64, N_importance=128, near=NEAR, far=FAR,
                         use_viewdirs=True, white_bkgd=True, perturb=1.0,
-                        fused_backward=on_tpu, use_pallas=on_tpu)
+                        fused_backward=on_tpu, use_pallas=on_tpu,
+                        proposal=a.proposal and a.model == "nerf")
+    # proposal row: density-only coarse (apps/train semantics) — the fine
+    # net, sampler spec, and eval protocol are identical to the baseline
+    ccfg_h = cfg
+    if rcfg.proposal and a.occ_until > 0:
+        raise SystemExit("--proposal and --occ_until are separate rows: the "
+                         "two-phase tail seeds the coarse from the fine net "
+                         "(same-shape assumption)")
+    if rcfg.proposal:
+        ccfg_h = NeRFConfig(D=a.proposal_depth, W=a.proposal_width,
+                            output_ch=4, use_viewdirs=False, multires=10,
+                            multires_views=4, skips=(4,))
     if not a.skip_hierarchical:
         import dataclasses as _dch
 
-        state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
+        state = create_train_state(jax.random.PRNGKey(0), ccfg_h, cfg,
                                    lrate=5e-4, lrate_decay=250)
-        step = make_fused_train_step(rcfg, cfg, cfg, spec, inner_steps=inner,
+        step = make_fused_train_step(rcfg, ccfg_h, cfg, spec,
+                                     inner_steps=inner,
                                      donate=False, tv_reg=a.tv)
         # warmup sigma noise: the robust escape from the white-background
         # transparency trap (precrop alone is RNG-fragile at 400p on the
         # hard scene — measured; the occ phase below has used this since
         # round 2). raw_noise_std is the reference's own regularizer.
         step_warm = make_fused_train_step(
-            _dch.replace(rcfg, raw_noise_std=1.0), cfg, cfg, spec,
+            _dch.replace(rcfg, raw_noise_std=1.0), ccfg_h, cfg, spec,
             inner_steps=inner, donate=False, tv_reg=a.tv)
         state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))
-        state = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
+        state = create_train_state(jax.random.PRNGKey(0), ccfg_h, cfg,
                                    lrate=5e-4, lrate_decay=250)
         # triplane coarse-to-fine: "step:G,step:G" milestones — upsample
         # the planes, restart the optimizer at the continued schedule step
@@ -195,12 +222,26 @@ def main():
                 jax.random.fold_in(jax.random.PRNGKey(1), i))
             float(aux["loss"])  # fence
             wall = time.perf_counter() - t0
-            rec = {"impl": "hierarchical" if a.model == "nerf"
-                   else f"hierarchical_{a.model}", "step": i + inner,
+            rec = {"impl": ("proposal" if rcfg.proposal
+                            else "hierarchical" if a.model == "nerf"
+                            else f"hierarchical_{a.model}"),
+                   "step": i + inner,
                    "wall_s": round(wall, 2),
                    "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
             log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
         results["hierarchical"] = rec
+
+    if a.skip_occ:
+        log.close()
+        summary = {"metric": "ttq_occ", "steps": a.steps}
+        if "hierarchical" in results:
+            summary["hierarchical"] = {
+                k: results["hierarchical"][k]
+                for k in ("wall_s", "eval_psnr")}
+            if rcfg.proposal:
+                summary["impl"] = "proposal"
+        print(json.dumps(summary))
+        return
 
     # ---- occupancy-gated trainer ----
     # the hierarchical section may have rebound eval_psnr to an upsampled

@@ -268,6 +268,7 @@ def train(args):
             acc_reg=getattr(args, "acc_loss_weight", 0.0),
             tv_reg=getattr(args, "tv_loss_weight", 0.0),
             prop_reg=getattr(args, "proposal_loss_weight", 1.0),
+            dist_reg=getattr(args, "distortion_loss_weight", 0.0),
         )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
@@ -282,6 +283,7 @@ def train(args):
             acc_reg=getattr(args, "acc_loss_weight", 0.0),
             tv_reg=getattr(args, "tv_loss_weight", 0.0),
             prop_reg=getattr(args, "proposal_loss_weight", 1.0),
+            dist_reg=getattr(args, "distortion_loss_weight", 0.0),
         )
         print(f"two-phase schedule: occ-gated until step {occ_until}, "
               f"hierarchical after")
@@ -483,6 +485,7 @@ def train(args):
                 acc_reg=getattr(args, "acc_loss_weight", 0.0),
                 tv_reg=getattr(args, "tv_loss_weight", 0.0),
                 prop_reg=getattr(args, "proposal_loss_weight", 1.0),
+                dist_reg=getattr(args, "distortion_loss_weight", 0.0),
             )
             if _mk_dense_hook is not None:
                 sharded_hook = _mk_dense_hook(ccfg, fcfg)

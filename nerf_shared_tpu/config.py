@@ -70,9 +70,16 @@ class ConfigArgumentParser(argparse.ArgumentParser):
             parts = shlex.split(val.replace(",", " "))
             conv = action.type or str
             return [conv(p) for p in parts]
-        if action.type is not None:
-            return action.type(val)
-        return val
+        out = action.type(val) if action.type is not None else val
+        # argparse only checks `choices` for values that arrive via the
+        # command line; values injected from a config file land through
+        # set_defaults and would silently bypass validation (e.g.
+        # `ckpt_format = npz` training for hours and saving NOTHING)
+        if action.choices is not None and out not in action.choices:
+            raise SystemExit(
+                f"config file: invalid {action.dest} = {val!r} "
+                f"(choose from {', '.join(map(str, action.choices))})")
+        return out
 
 
 def config_parser() -> ConfigArgumentParser:
@@ -248,6 +255,13 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--proposal_loss_weight", type=float, default=1.0,
                         help='interlevel histogram loss weight (mip-NeRF '
                              '360 uses 1.0)')
+    parser.add_argument("--distortion_loss_weight", type=float, default=0.0,
+                        help='mip-NeRF 360 distortion loss weight over the '
+                             'final pass\'s compositing weights: compacts '
+                             'each ray\'s mass into one cluster (floater / '
+                             'background-collapse remedy; the paper uses '
+                             '0.01 at unbounded-scene scale). Prefix-sum '
+                             'form — no pairwise tensor')
     parser.add_argument("--tv_loss_weight", type=float, default=0.0,
                         help='total-variation smoothness weight over grid-'
                              'family feature planes (TensoRF/DVGO '

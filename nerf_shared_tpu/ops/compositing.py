@@ -84,6 +84,47 @@ def raw2outputs(
     return rgb_map, disp_map, acc_map, weights, depth_map
 
 
+def distortion_loss(
+    z_vals: jnp.ndarray,   # [N, S] sample positions (sorted)
+    weights: jnp.ndarray,  # [N, S] compositing weights
+    near: float,
+    far: float,
+) -> jnp.ndarray:
+    """Distortion regularizer of mip-NeRF 360 (Barron et al. 2022, eq. 15):
+    penalizes compositing mass that is spread out along the ray —
+    L = sum_ij w_i w_j |m_i - m_j| + (1/3) sum_i w_i^2 dz_i
+    over NORMALIZED ray distance s = (z - near)/(far - near), with m the
+    interval midpoints. Minimizing it collapses each ray's weight into one
+    compact cluster — the standard floater/background-collapse remedy.
+
+    The final NeRF sample rides the 1e10 sentinel interval and is dropped
+    (same convention as interlevel_loss): its "interval" has no finite
+    midpoint, and the background weight must stay unpenalized or white-bkgd
+    scenes are pushed toward solid fog.
+
+    TPU-first: the pairwise term uses the sorted-midpoint prefix-sum
+    identity  sum_ij w_i w_j |m_i - m_j| = 2 sum_i w_i (m_i A_i - B_i)
+    with A_i / B_i the exclusive prefix sums of w and w*m — two cumsums
+    (VPU scans) instead of the [N, S, S] pairwise tensor a naive port
+    would materialize (at S=192 that tensor is 144x the activation size).
+
+    Returns the mean over rays. New capability, no reference counterpart.
+    """
+    s = (z_vals - near) / max(far - near, 1e-9)      # [N, S]
+    sm = 0.5 * (s[..., 1:] + s[..., :-1])            # [N, S-1] midpoints
+    ds = s[..., 1:] - s[..., :-1]                    # [N, S-1]
+    w = weights[..., :-1]                            # drop sentinel sample
+
+    cw = jnp.cumsum(w, axis=-1)
+    cwm = jnp.cumsum(w * sm, axis=-1)
+    # exclusive prefix sums (A_i = sum_{j<i} w_j, B_i = sum_{j<i} w_j m_j)
+    a = cw - w
+    b = cwm - w * sm
+    pairwise = 2.0 * jnp.sum(w * (sm * a - b), axis=-1)
+    self_term = jnp.sum(w * w * ds, axis=-1) / 3.0
+    return jnp.mean(pairwise + self_term)
+
+
 def interlevel_loss(
     z_prop: jnp.ndarray,   # [N, Sp] proposal sample positions (sorted)
     w_prop: jnp.ndarray,   # [N, Sp] proposal compositing weights

@@ -62,8 +62,13 @@ def nerf_loss(
     acc_reg: float = 0.0,
     tv_reg: float = 0.0,
     prop_reg: float = 1.0,
+    dist_reg: float = 0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98).
+
+    ``dist_reg`` > 0 adds the mip-NeRF 360 distortion loss
+    (ops/compositing.distortion_loss) over the final pass's weights —
+    compacts each ray's mass into one cluster (floater remedy).
 
     Under ``rcfg.proposal`` the coarse branch is a density-only proposal
     net: there is no coarse mse (no 'rgb0' is returned) — instead
@@ -89,7 +94,7 @@ def nerf_loss(
         fcfg,
         retraw=acc_reg > 0.0,
         retraw_coarse=acc_reg > 0.0,
-        retweights=rcfg.proposal,
+        retweights=rcfg.proposal or dist_reg > 0.0,
     )
     img_loss = img2mse(ret["rgb_map"], target)
     loss = img_loss
@@ -102,6 +107,13 @@ def nerf_loss(
         )
         loss = loss + prop_reg * prop_loss
         aux["prop_loss"] = prop_loss
+    if dist_reg > 0.0:
+        from nerf_shared_tpu.ops.compositing import distortion_loss
+
+        dist_loss = distortion_loss(ret["z_vals"], ret["weights"],
+                                    rcfg.near, rcfg.far)
+        loss = loss + dist_reg * dist_loss
+        aux["dist_loss"] = dist_loss
     if "rgb0" in ret:
         img_loss0 = img2mse(ret["rgb0"], target)
         loss = loss + img_loss0
@@ -144,6 +156,7 @@ def make_train_step(
     acc_reg: float = 0.0,
     tv_reg: float = 0.0,
     prop_reg: float = 1.0,
+    dist_reg: float = 0.0,
 ):
     """Single-device jitted step over an explicit ray batch.
 
@@ -158,7 +171,7 @@ def make_train_step(
         def loss_fn(params):
             return nerf_loss(params, ray_batch, target, key, rcfg, ccfg, fcfg,
                              acc_reg=acc_reg, tv_reg=tv_reg,
-                             prop_reg=prop_reg)
+                             prop_reg=prop_reg, dist_reg=dist_reg)
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads)
@@ -230,6 +243,7 @@ def make_fused_train_step(
     acc_reg: float = 0.0,
     tv_reg: float = 0.0,
     prop_reg: float = 1.0,
+    dist_reg: float = 0.0,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -278,6 +292,7 @@ def make_fused_train_step(
             return nerf_loss(
                 params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
                 acc_reg=acc_reg, tv_reg=tv_reg, prop_reg=prop_reg,
+                dist_reg=dist_reg,
             )
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)

@@ -425,6 +425,10 @@ def save_checkpoints(
     params = jax.device_get(state.params)
     opt_flat = adam_state_to_flat(jax.device_get(state.opt_state))
     step = int(jax.device_get(state.step))
+    if fmt not in ("native", "tar", "both"):
+        raise ValueError(
+            f"unknown checkpoint format {fmt!r} (native | tar | both) — "
+            "refusing to silently save nothing")
     paths = []
     # the reference .tar schema is defined for the MLP family only
     # (state_dict names pts_linears/..., reference nerf.py:79-94); grid

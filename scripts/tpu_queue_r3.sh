@@ -39,3 +39,10 @@ q "6/6 mesh-export bench (256^3 probe + native extract)"
 timeout 1800 python -u benchmarks/mesh_bench.py > /tmp/mesh_bench.out 2>&1
 q "6/6 done rc=$?"
 q "all done"
+
+q "7/7 proposal-sampler ttq (hard scene, 200k, vs ttq_hard_200k.jsonl hierarchical rows)"
+timeout 7200 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
+  --steps 200000 --eval_every 5000 --warmup 2000 --precrop_iters 500 \
+  --proposal --skip_occ \
+  --log benchmarks/ttq_hard_proposal.jsonl > /tmp/ttq_proposal.out 2>&1
+q "7/7 done rc=$?"

@@ -104,3 +104,72 @@ def test_gradients_finite(rng):
 
     g = jax.grad(f)(raw)
     assert np.isfinite(np.asarray(g)).all()
+
+# ------------------------------------------------- distortion regularizer
+
+
+def test_distortion_loss_matches_naive_pairwise():
+    """The prefix-sum form must equal the naive O(S^2) mip-NeRF 360 eq. 15
+    on random histograms (the definitional oracle)."""
+    from nerf_shared_tpu.ops.compositing import distortion_loss
+
+    rng = np.random.default_rng(0)
+    near, far = 2.0, 6.0
+    z = np.sort(rng.uniform(near, far, (16, 13)), axis=-1).astype(np.float32)
+    w = rng.uniform(0, 1, (16, 13)).astype(np.float32)
+    w /= w.sum(-1, keepdims=True)
+
+    s = (z - near) / (far - near)
+    sm = 0.5 * (s[..., 1:] + s[..., :-1])
+    ds = s[..., 1:] - s[..., :-1]
+    wt = w[..., :-1]
+    pair = np.abs(sm[..., :, None] - sm[..., None, :])
+    naive = (np.einsum("ni,nj,nij->n", wt, wt, pair)
+             + (wt**2 * ds).sum(-1) / 3.0).mean()
+
+    got = float(distortion_loss(jnp.asarray(z), jnp.asarray(w), near, far))
+    np.testing.assert_allclose(got, naive, rtol=1e-5)
+
+
+def test_distortion_loss_prefers_compact_mass():
+    from nerf_shared_tpu.ops.compositing import distortion_loss
+
+    z = jnp.linspace(2.0, 6.0, 17)[None, :]
+    compact = jnp.zeros((1, 17)).at[0, 8].set(1.0)
+    spread = jnp.full((1, 17), 1.0 / 17)
+    l_c = float(distortion_loss(z, compact, 2.0, 6.0))
+    l_s = float(distortion_loss(z, spread, 2.0, 6.0))
+    assert l_c < l_s, (l_c, l_s)
+    # the sentinel (last) sample must be unpenalized: background mass free
+    bkgd = jnp.zeros((1, 17)).at[0, 16].set(1.0)
+    assert float(distortion_loss(z, bkgd, 2.0, 6.0)) == 0.0
+
+
+def test_distortion_loss_trains():
+    """dist_reg > 0 surfaces aux['dist_loss'], stays finite, and produces a
+    finite gradient through the jitted step."""
+    from nerf_shared_tpu.models.nerf import NeRFConfig
+    from nerf_shared_tpu.render.renderer import RenderConfig
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.train.step import make_train_step
+
+    ccfg = NeRFConfig(D=2, W=32, multires=4, multires_views=2, skips=(0,))
+    rcfg = RenderConfig(N_samples=6, N_importance=6, near=2.0, far=6.0,
+                        white_bkgd=False, perturb=1.0)
+    state = create_train_state(jax.random.PRNGKey(0), ccfg, ccfg,
+                               lrate=5e-3, lrate_decay=250)
+    step = make_train_step(rcfg, ccfg, ccfg, H=8, W=8, focal=5.0,
+                           donate=False, dist_reg=0.01)
+    rng = np.random.default_rng(0)
+    rd = rng.standard_normal((32, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, -1, keepdims=True)
+    batch = jnp.asarray(np.stack([np.zeros((32, 3), np.float32), rd]))
+    target = jnp.full((32, 3), 0.25, jnp.float32)
+    state, aux = step(state, batch, target, jax.random.PRNGKey(1))
+    assert "dist_loss" in aux and np.isfinite(float(aux["dist_loss"]))
+    assert np.isfinite(float(aux["loss"]))
+    # off by default: no weights round-trip, no aux key
+    step0 = make_train_step(rcfg, ccfg, ccfg, H=8, W=8, focal=5.0,
+                            donate=False)
+    _, aux0 = step0(state, batch, target, jax.random.PRNGKey(1))
+    assert "dist_loss" not in aux0

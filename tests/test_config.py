@@ -101,3 +101,36 @@ def test_tpu_flags():
     assert args.mesh_shape == [4, 2]
     assert args.precision == "bf16"
     assert args.use_pallas is False
+
+
+def test_config_file_values_respect_choices(tmp_path):
+    """Config-file values must be validated against `choices` exactly like
+    CLI values — `ckpt_format = npz` once trained and silently saved NO
+    checkpoints (argparse skips choice-checking for set_defaults values)."""
+    import pytest
+
+    from nerf_shared_tpu.config import config_parser
+
+    cfg = tmp_path / "bad.txt"
+    cfg.write_text("expname = x\ndatadir = y\nckpt_format = npz\n")
+    with pytest.raises(SystemExit, match="ckpt_format"):
+        config_parser().parse_args(["--config", str(cfg)])
+
+    ok = tmp_path / "ok.txt"
+    ok.write_text("expname = x\ndatadir = y\nckpt_format = native\n")
+    args = config_parser().parse_args(["--config", str(ok)])
+    assert args.ckpt_format == "native"
+
+
+def test_save_checkpoints_rejects_unknown_format(tmp_path):
+    import jax
+    import pytest
+
+    from nerf_shared_tpu.models.nerf import NeRFConfig
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.utils.checkpoints import save_checkpoints
+
+    ccfg = NeRFConfig(D=2, W=16, multires=2, multires_views=2)
+    state = create_train_state(jax.random.PRNGKey(0), ccfg, None)
+    with pytest.raises(ValueError, match="unknown checkpoint format"):
+        save_checkpoints(str(tmp_path), "e", state, 0, fmt="npz")
