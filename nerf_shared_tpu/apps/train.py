@@ -134,7 +134,17 @@ def train(args):
     _resolve_triplane_aabb(args, ds, H, W)
 
     ccfg, fcfg = nerf_configs(args)
-    state = get_train_state(args)
+    refine_poses = bool(getattr(args, "refine_poses", False))
+    if refine_poses and bool(getattr(args, "train_occ", False)):
+        raise SystemExit(
+            "--refine_poses currently targets the hierarchical/proposal "
+            "trainer (the occ trainer samples rays outside its "
+            "differentiated loss)")
+    state = get_train_state(
+        args, n_refine_poses=len(ds.i_train) if refine_poses else 0)
+    if refine_poses:
+        print(f"pose refinement: {len(ds.i_train)} learnable se(3) "
+              f"corrections (lr {getattr(args, 'pose_lrate', 1e-3)})")
     state, start = ckpt_utils.load_checkpoint(state, args)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     renderer = get_renderer(args, ds.bds_dict)
@@ -269,6 +279,8 @@ def train(args):
             tv_reg=getattr(args, "tv_loss_weight", 0.0),
             prop_reg=getattr(args, "proposal_loss_weight", 1.0),
             dist_reg=getattr(args, "distortion_loss_weight", 0.0),
+            pose_anchor=bool(getattr(args, "pose_anchor", True)),
+            pose_start=int(getattr(args, "refine_poses_from", 500)),
         )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
@@ -284,6 +296,8 @@ def train(args):
             tv_reg=getattr(args, "tv_loss_weight", 0.0),
             prop_reg=getattr(args, "proposal_loss_weight", 1.0),
             dist_reg=getattr(args, "distortion_loss_weight", 0.0),
+            pose_anchor=bool(getattr(args, "pose_anchor", True)),
+            pose_start=int(getattr(args, "refine_poses_from", 500)),
         )
         print(f"two-phase schedule: occ-gated until step {occ_until}, "
               f"hierarchical after")
@@ -486,6 +500,8 @@ def train(args):
                 tv_reg=getattr(args, "tv_loss_weight", 0.0),
                 prop_reg=getattr(args, "proposal_loss_weight", 1.0),
                 dist_reg=getattr(args, "distortion_loss_weight", 0.0),
+                pose_anchor=bool(getattr(args, "pose_anchor", True)),
+                pose_start=int(getattr(args, "refine_poses_from", 500)),
             )
             if _mk_dense_hook is not None:
                 sharded_hook = _mk_dense_hook(ccfg, fcfg)
@@ -716,7 +732,10 @@ def render_only(args, return_rgbs: bool = False, ds=None):
 
     _resolve_triplane_aabb(args, ds, int(ds.hwf[0]), int(ds.hwf[1]))
     ccfg, fcfg = nerf_configs(args)
-    state = get_train_state(args)
+    state = get_train_state(
+        args,
+        n_refine_poses=(len(ds.i_train)
+                        if getattr(args, "refine_poses", False) else 0))
     state, start = ckpt_utils.load_checkpoint(state, args)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     renderer = get_renderer(args, ds.bds_dict)

@@ -255,6 +255,29 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--proposal_loss_weight", type=float, default=1.0,
                         help='interlevel histogram loss weight (mip-NeRF '
                              '360 uses 1.0)')
+    parser.add_argument("--refine_poses", type=_str2bool, default=False,
+                        help='BARF-style training-time camera refinement: '
+                             'each train image gets a learnable se(3) '
+                             'correction (zero-init) applied to its pose, '
+                             'trained jointly with the field through the '
+                             'ray generation — rescues imperfect '
+                             'SfM/COLMAP poses. Twists checkpoint in the '
+                             'native .npz (dropped by the torch .tar '
+                             'schema)')
+    parser.add_argument("--pose_lrate", type=float, default=1e-3,
+                        help='learning rate for the pose-twist group '
+                             '(same exponential decay schedule)')
+    parser.add_argument("--refine_poses_from", type=int, default=500,
+                        help='start pose refinement at this step: let the '
+                             'field settle first — joint from-scratch '
+                             'refinement drifts the whole camera rig '
+                             '(measured: photometric loss improves while '
+                             'every pose gets worse), refining against a '
+                             'settled field recovers injected pose error. '
+                             '0 = refine from the first step')
+    parser.add_argument("--pose_anchor", type=_str2bool, default=True,
+                        help='pin the first train image\'s twist to '
+                             'identity (gauge fixing)')
     parser.add_argument("--distortion_loss_weight", type=float, default=0.0,
                         help='mip-NeRF 360 distortion loss weight over the '
                              'final pass\'s compositing weights: compacts '

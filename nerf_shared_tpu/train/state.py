@@ -47,31 +47,46 @@ def make_optimizer(
     lrate: float,
     lrate_decay: int,
     grid_lrate: Optional[float] = None,
+    pose_lrate: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Adam(betas=(0.9, 0.999), eps=1e-8) matching torch defaults
     (reference utils.py:170). With ``grid_lrate``, grid-family parameters
     (leaves under a "planes" key, models/triplane.py) get their own Adam at
     that rate — explicit spatial features want ~40x the decoder rate
-    (TensoRF/DVGO practice); both share the exponential decay schedule."""
+    (TensoRF/DVGO practice). With ``pose_lrate``, the "pose_twists" group
+    (train/pose_refine.py) gets its own Adam — camera corrections want a
+    rate decoupled from the field's (BARF practice). All groups share the
+    exponential decay schedule."""
 
     def adam(lr):
         return optax.adam(learning_rate=lr_schedule(lr, lrate_decay),
                           b1=0.9, b2=0.999, eps=1e-8)
 
-    if grid_lrate is None:
+    if grid_lrate is None and pose_lrate is None:
         return adam(lrate)
+
+    # only the requested groups exist — the g{i}/ checkpoint schema is
+    # positional (traversal order), so a pose-less triplane state must keep
+    # its historical two-group layout
+    transforms = {"net": adam(lrate)}
+    if grid_lrate is not None:
+        transforms["grid"] = adam(grid_lrate)
+    if pose_lrate is not None:
+        transforms["pose"] = adam(pose_lrate)
 
     def labels(params):
         def label(path, _):
             keys = [getattr(p, "key", getattr(p, "name", None))
                     for p in path]
-            return "grid" if "planes" in keys else "net"
+            if pose_lrate is not None and "pose_twists" in keys:
+                return "pose"
+            if grid_lrate is not None and "planes" in keys:
+                return "grid"
+            return "net"
 
         return jax.tree_util.tree_map_with_path(label, params)
 
-    return optax.multi_transform(
-        {"grid": adam(grid_lrate), "net": adam(lrate)}, labels
-    )
+    return optax.multi_transform(transforms, labels)
 
 
 def _init_params(key: jax.Array, cfg):
@@ -92,14 +107,22 @@ def create_train_state(
     lrate_decay: int = 250,
     start_step: int = 0,
     grid_lrate: Optional[float] = None,
+    n_refine_poses: int = 0,
+    pose_lrate: float = 1e-3,
 ) -> TrainState:
     kc, kf = jax.random.split(key)
     params = {"coarse": _init_params(kc, coarse_cfg)}
     if fine_cfg is not None:
         params["fine"] = _init_params(kf, fine_cfg)
+    if n_refine_poses > 0:
+        from nerf_shared_tpu.train.pose_refine import init_pose_twists
+
+        params["pose_twists"] = init_pose_twists(n_refine_poses)
     if grid_lrate is None and not isinstance(coarse_cfg, NeRFConfig):
         grid_lrate = 2e-2
-    tx = make_optimizer(lrate, lrate_decay, grid_lrate=grid_lrate)
+    tx = make_optimizer(lrate, lrate_decay, grid_lrate=grid_lrate,
+                        pose_lrate=pose_lrate if n_refine_poses > 0
+                        else None)
     import jax.numpy as jnp
 
     return TrainState(

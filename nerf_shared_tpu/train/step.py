@@ -244,6 +244,8 @@ def make_fused_train_step(
     tv_reg: float = 0.0,
     prop_reg: float = 1.0,
     dist_reg: float = 0.0,
+    pose_anchor: bool = True,
+    pose_start: int = 0,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -280,20 +282,57 @@ def make_fused_train_step(
             # exact-epoch mode partitions the global batch across devices
             batch_offset = axis_idx * local_spec.N_rand
         k_sample, k_render = jax.random.split(key)
-        rays_o, rays_d, target = sample_ray_batch(
-            k_sample, images, poses, state.step, local_spec,
-            batch_offset=batch_offset,
-        )
-        ray_batch = pack_ray_batch(
-            rays_o, rays_d, rcfg, spec.H, spec.W, spec.fx
-        )
 
         def loss_fn(params):
-            return nerf_loss(
+            # pose refinement (train/pose_refine.py): ray generation happens
+            # INSIDE the differentiated function so the photometric loss
+            # reaches the per-image twist corrections through rays_o/rays_d.
+            # Without twists this is bit-identical to sampling outside (the
+            # draw is keyed, and no parameter feeds the rays).
+            poses_used = poses
+            if "pose_twists" in params:
+                from nerf_shared_tpu.train.pose_refine import (
+                    apply_pose_twists,
+                )
+
+                twists = params["pose_twists"]
+                if pose_start > 0:
+                    # delayed start (--refine_poses_from): let the field
+                    # settle before the cameras move — measured on the
+                    # analytic scene: joint from-scratch refinement drifts
+                    # the whole rig (photometric loss down, every pose
+                    # worse), while refining against a settled field
+                    # recovers an injected perturbation 0.55 -> 0.14
+                    gate = (state.step >= pose_start).astype(twists.dtype)
+                    twists = twists * gate
+                if pose_anchor:
+                    # gauge fixing: the first camera's twist is pinned to
+                    # identity (zero gradient through the mask), otherwise
+                    # the whole camera rig and the field co-drift — measured
+                    # on the analytic scene: unanchored refinement lowered
+                    # the photometric loss while every camera drifted ~2x
+                    # the injected perturbation
+                    mask = jnp.ones((twists.shape[0], 1),
+                                    twists.dtype).at[0, 0].set(0.0)
+                    twists = twists * mask
+                poses_used = apply_pose_twists(twists, poses)
+            rays_o, rays_d, target = sample_ray_batch(
+                k_sample, images, poses_used, state.step, local_spec,
+                batch_offset=batch_offset,
+            )
+            target = jax.lax.stop_gradient(target)
+            ray_batch = pack_ray_batch(
+                rays_o, rays_d, rcfg, spec.H, spec.W, spec.fx
+            )
+            loss, aux = nerf_loss(
                 params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
                 acc_reg=acc_reg, tv_reg=tv_reg, prop_reg=prop_reg,
                 dist_reg=dist_reg,
             )
+            if "pose_twists" in params:
+                aux["twist_norm"] = jnp.sqrt(
+                    jnp.mean(params["pose_twists"] ** 2))
+            return loss, aux
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         if sharded:

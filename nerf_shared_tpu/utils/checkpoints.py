@@ -309,6 +309,18 @@ def save_tar(
     )
 
     opt_sd: Dict[str, Any] = {"state": {}, "param_groups": []}
+    if opt_flat is not None and "n_groups" in opt_flat:
+        # multi-group schema (the pose-twist LR split, train/state.py): the
+        # torch .tar carries only the net group's Adam — pick the group
+        # whose mu tree holds the coarse network
+        for gi in range(int(opt_flat["n_groups"])):
+            pre = f"g{gi}/"
+            if any(k.startswith(pre + "mu/coarse/") for k in opt_flat):
+                opt_flat = {k[len(pre):]: v for k, v in opt_flat.items()
+                            if k.startswith(pre)}
+                break
+        else:
+            opt_flat = None
     if opt_flat is not None:
         order = _torch_param_order(params["coarse"])
         trees = [("coarse", params["coarse"])]
@@ -484,9 +496,29 @@ def load_checkpoint(
     if not ckpts or args.no_reload:
         return state, 0
     path = ckpts[checkpoint_index if checkpoint_index is not None else -1]
+    want_twists = "pose_twists" in state.params
+    if want_twists and path.endswith(".tar"):
+        # the torch .tar schema has no pose-twist group; a same-step native
+        # sibling (default --ckpt_format both) carries the full state
+        sibling = path[: -len(".tar")] + ".ckpt.npz"
+        if sibling in ckpts:
+            path = sibling
     print(f"Reloading from {path}")
     if path.endswith(".npz"):
         params, opt_flat, step = load_native(path)
+        have_twists = "pose_twists" in params
+        if have_twists and not want_twists:
+            print("checkpoint carries pose twists but --refine_poses is "
+                  "off: dropping them (rays use the dataset poses; Adam "
+                  "moments reset)")
+            params.pop("pose_twists")
+            opt_flat = None
+        elif want_twists and not have_twists:
+            print("--refine_poses is on but the checkpoint has no twists: "
+                  "starting them at identity (Adam moments reset)")
+            params["pose_twists"] = jax.device_get(
+                state.params)["pose_twists"]
+            opt_flat = None
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(a, jnp.asarray(b).dtype),
             params,
@@ -494,6 +526,13 @@ def load_checkpoint(
         )
     else:
         params, opt_flat, step = load_tar(path, jax.device_get(state.params))
+        if want_twists:
+            print("torch .tar has no pose-twist group: twists start at "
+                  "identity (Adam moments reset — the .tar's single-adam "
+                  "schema cannot map onto the pose/net group split)")
+            params["pose_twists"] = jax.device_get(
+                state.params)["pose_twists"]
+            opt_flat = None
     new_state = state.replace(
         step=jnp.asarray(step, jnp.int32),
         params=jax.tree_util.tree_map(jnp.asarray, params),
