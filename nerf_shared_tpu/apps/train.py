@@ -45,6 +45,34 @@ def _models_from_state(state, ccfg, fcfg):
     return coarse, fine
 
 
+def _barf_progress(args, step):
+    """Annealing progress in [0, 1] at ``step``, or None when --barf_anneal
+    is off."""
+    end = int(getattr(args, "barf_anneal", 0))
+    if end <= 0:
+        return None
+    start = int(getattr(args, "barf_anneal_start", 0))
+    return min(1.0, max(0.0, (step - start) / max(1, end - start)))
+
+
+def _barf_state(state, args, ccfg, fcfg, step):
+    """State whose render params carry the step's annealing mask — eval
+    renders must see the SAME effective encoder as training, or the
+    untrained high-frequency rows (still at random init under the mask)
+    inject garbage (models/nerf.anneal_nerf_params). No-op once the ramp
+    completes or when annealing is off; never used for checkpointing."""
+    p = _barf_progress(args, step)
+    if p is None or p >= 1.0:
+        return state
+    from nerf_shared_tpu.models.nerf import anneal_nerf_params
+
+    params = dict(state.params)
+    params["coarse"] = anneal_nerf_params(params["coarse"], ccfg, p)
+    if fcfg is not None and "fine" in params:
+        params["fine"] = anneal_nerf_params(params["fine"], fcfg, p)
+    return state.replace(params=params)
+
+
 def _grid_select(args) -> str:
     """Candidate-selection policy forwarded to occ renders: only grid mode
     has the knob — froxel mode raises on non-default select (and applies
@@ -140,6 +168,22 @@ def train(args):
             "--refine_poses currently targets the hierarchical/proposal "
             "trainer (the occ trainer samples rays outside its "
             "differentiated loss)")
+    if int(getattr(args, "barf_anneal", 0)) > 0:
+        if getattr(args, "model_type", "nerf") != "nerf":
+            raise SystemExit("--barf_anneal anneals the positional "
+                             "encoding — MLP family only (triplane has no "
+                             "frequency bands to anneal)")
+        if bool(getattr(args, "train_occ", False)):
+            raise SystemExit("--barf_anneal targets the hierarchical/"
+                             "proposal trainer (the occ trainer has its "
+                             "own sampling loss)")
+        if int(getattr(args, "i_embed", 0)) == -1:
+            raise SystemExit("--barf_anneal needs the positional encoding "
+                             "(--i_embed 0); identity embedding has no "
+                             "frequency bands")
+        print(f"BARF annealing: frequency bands ramp over steps "
+              f"[{int(getattr(args, 'barf_anneal_start', 0))}, "
+              f"{int(args.barf_anneal)}]")
     state = get_train_state(
         args, n_refine_poses=len(ds.i_train) if refine_poses else 0)
     if refine_poses:
@@ -281,6 +325,8 @@ def train(args):
             dist_reg=getattr(args, "distortion_loss_weight", 0.0),
             pose_anchor=bool(getattr(args, "pose_anchor", True)),
             pose_start=int(getattr(args, "refine_poses_from", 500)),
+            barf_end=int(getattr(args, "barf_anneal", 0)),
+            barf_start=int(getattr(args, "barf_anneal_start", 0)),
         )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
@@ -298,6 +344,8 @@ def train(args):
             dist_reg=getattr(args, "distortion_loss_weight", 0.0),
             pose_anchor=bool(getattr(args, "pose_anchor", True)),
             pose_start=int(getattr(args, "refine_poses_from", 500)),
+            barf_end=int(getattr(args, "barf_anneal", 0)),
+            barf_start=int(getattr(args, "barf_anneal_start", 0)),
         )
         print(f"two-phase schedule: occ-gated until step {occ_until}, "
               f"hierarchical after")
@@ -502,6 +550,8 @@ def train(args):
                 dist_reg=getattr(args, "distortion_loss_weight", 0.0),
                 pose_anchor=bool(getattr(args, "pose_anchor", True)),
                 pose_start=int(getattr(args, "refine_poses_from", 500)),
+                barf_end=int(getattr(args, "barf_anneal", 0)),
+                barf_start=int(getattr(args, "barf_anneal_start", 0)),
             )
             if _mk_dense_hook is not None:
                 sharded_hook = _mk_dense_hook(ccfg, fcfg)
@@ -561,7 +611,8 @@ def train(args):
             print(f"Saved checkpoints at {paths}")
 
         if args.i_testset > 0 and last % args.i_testset == 0 and last > 0:
-            coarse, fine = _models_from_state(state, ccfg, fcfg)
+            est = _barf_state(state, args, ccfg, fcfg, last)
+            coarse, fine = _models_from_state(est, ccfg, fcfg)
             testsavedir = os.path.join(
                 args.basedir, args.expname, f"testset_{last:06d}"
             )
@@ -575,7 +626,7 @@ def train(args):
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
                 occ_select=_grid_select(args),
-                render_fn=(sharded_hook(state, last)
+                render_fn=(sharded_hook(est, last)
                            if sharded_hook else None),
             )
             print(f"Saved test set renders to {testsavedir}")
@@ -585,10 +636,11 @@ def train(args):
         # commented-out TF1 block (utils.py:506-532); this is the working
         # equivalent.
         if args.i_img > 0 and last % args.i_img == 0 and last > 0 and len(ds.i_val):
-            coarse, fine = _models_from_state(state, ccfg, fcfg)
+            est = _barf_state(state, args, ccfg, fcfg, last)
+            coarse, fine = _models_from_state(est, ccfg, fcfg)
             val_i = int(ds.i_val[(last // args.i_img) % len(ds.i_val)])
             occ_g = _occ_for(state, last)
-            rfn = sharded_hook(state, last) if sharded_hook else None
+            rfn = sharded_hook(est, last) if sharded_hook else None
             if rfn is not None:
                 rgb = rfn(jnp.asarray(ds.poses[val_i][:3, :4]), None)
             elif occ_g is not None:
@@ -625,7 +677,8 @@ def train(args):
         # spiral/render-path video — the hook the reference intended but
         # left commented on a broken render_path (main.py:120-124)
         if args.i_video > 0 and last % args.i_video == 0 and last > 0:
-            coarse, fine = _models_from_state(state, ccfg, fcfg)
+            est = _barf_state(state, args, ccfg, fcfg, last)
+            coarse, fine = _models_from_state(est, ccfg, fcfg)
             videodir = os.path.join(
                 args.basedir, args.expname, f"video_{last:06d}"
             )
@@ -641,7 +694,7 @@ def train(args):
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
                 occ_select=_grid_select(args),
-                render_fn=(sharded_hook(state, last)
+                render_fn=(sharded_hook(est, last)
                            if sharded_hook else None),
             )
             print(f"Saved render-path video to {videodir}")
@@ -739,6 +792,9 @@ def render_only(args, return_rgbs: bool = False, ds=None):
     state, start = ckpt_utils.load_checkpoint(state, args)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     renderer = get_renderer(args, ds.bds_dict)
+    # a checkpoint saved mid-anneal (--barf_anneal) renders with the mask
+    # its training saw — past the ramp this is a no-op
+    state = _barf_state(state, args, ccfg, fcfg, start)
     coarse, fine = _models_from_state(state, ccfg, fcfg)
 
     suffix = "test" if args.render_test else "path"

@@ -278,6 +278,18 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--pose_anchor", type=_str2bool, default=True,
                         help='pin the first train image\'s twist to '
                              'identity (gauge fixing)')
+    parser.add_argument("--barf_anneal", type=int, default=0,
+                        help='BARF coarse-to-fine annealing (Lin et al. '
+                             '2021): positional-encoding frequency bands '
+                             'fade in linearly, finishing at this step '
+                             '(0 = off). Applied in parameter space (first-'
+                             'layer row scaling) so the fused kernel needs '
+                             'no change; eval renders anneal consistently. '
+                             'MLP family only. Enables joint from-scratch '
+                             '--refine_poses (replaces the delayed start)')
+    parser.add_argument("--barf_anneal_start", type=int, default=0,
+                        help='step at which the annealing ramp begins '
+                             '(before it, only the identity channels pass)')
     parser.add_argument("--distortion_loss_weight", type=float, default=0.0,
                         help='mip-NeRF 360 distortion loss weight over the '
                              'final pass\'s compositing weights: compacts '

@@ -165,6 +165,75 @@ def get_density(params: Params, cfg: NeRFConfig, points: jnp.ndarray) -> jnp.nda
     return out[..., -1]
 
 
+def barf_freq_weights(progress: jnp.ndarray, n_freqs: int) -> jnp.ndarray:
+    """BARF coarse-to-fine frequency weights (Lin et al. 2021, eq. 14).
+
+    ``progress`` in [0, 1] maps to alpha = progress * n_freqs; band k gets
+    0 while alpha < k, a raised-cosine ramp on alpha in [k, k+1], and 1
+    after — low frequencies train first, high frequencies fade in."""
+    k = jnp.arange(n_freqs, dtype=jnp.float32)
+    x = jnp.clip(progress * n_freqs - k, 0.0, 1.0)
+    return 0.5 * (1.0 - jnp.cos(jnp.pi * x))
+
+
+def _anneal_channel_mask(ecfg: EmbedderConfig, progress) -> Optional[jnp.ndarray]:
+    """Per-channel weights over γ(x)'s feature layout ([x, sin/cos blocks
+    freq-major], ops/embedding.embed), or None when there is nothing to
+    anneal (identity embedding)."""
+    if ecfg.i_embed == -1 or ecfg.multires <= 0:
+        return None
+    w = barf_freq_weights(progress, ecfg.multires)          # [F]
+    per = jnp.repeat(w, 2 * ecfg.input_dims)                # [2*F*d]
+    if ecfg.include_input:
+        per = jnp.concatenate(
+            [jnp.ones((ecfg.input_dims,), per.dtype), per])
+    return per
+
+
+def anneal_nerf_params(params: Params, cfg: NeRFConfig, progress) -> Params:
+    """BARF coarse-to-fine annealing applied in PARAMETER space.
+
+    Scaling the first-layer weight rows that consume encoded channel i by
+    m_i is exactly equivalent — forward and backward — to masking the
+    encoding itself: (γ(x)∘m) @ W == γ(x) @ (m[:, None] * W), and under
+    autodiff the gradient reaching the stored (unscaled) W rows carries the
+    same m_i factor, so masked-out frequencies receive zero gradient. Doing
+    it in parameter space means the fused Pallas kernel (which computes
+    γ in VMEM, ops/pallas/fused_mlp.py) anneals without any kernel change.
+
+    Touches: pts_linears[0], the pts rows of every skip-successor layer
+    (apply_mlp concatenates [input_pts, h] after each skip), and the view
+    rows of views_linears[0] (input is [feature, γ(dirs)]). ``progress`` is
+    a traced scalar — the whole transform is a handful of [in,W] multiplies
+    XLA fuses into the parameter pipeline. New capability (the reference
+    has no annealing); pairs with --refine_poses (train/pose_refine.py),
+    where it replaces the delayed-start heuristic for joint from-scratch
+    pose+field training."""
+    mp = _anneal_channel_mask(cfg.pts_embedder, progress)
+    out = dict(params)
+    if mp is not None:
+        pls = list(params["pts_linears"])
+        pls[0] = {"w": pls[0]["w"] * mp[:, None], "b": pls[0]["b"]}
+        for i in cfg.skips:
+            j = i + 1
+            if j < len(pls):
+                w = pls[j]["w"]
+                scale = jnp.concatenate(
+                    [mp, jnp.ones((w.shape[0] - mp.shape[0],), w.dtype)])
+                pls[j] = {"w": w * scale[:, None], "b": pls[j]["b"]}
+        out["pts_linears"] = pls
+    if cfg.use_viewdirs and "views_linears" in params:
+        mv = _anneal_channel_mask(cfg.views_embedder, progress)
+        if mv is not None:
+            vls = list(params["views_linears"])
+            w = vls[0]["w"]
+            scale = jnp.concatenate(
+                [jnp.ones((w.shape[0] - mv.shape[0],), w.dtype), mv])
+            vls[0] = {"w": w * scale[:, None], "b": vls[0]["b"]}
+            out["views_linears"] = vls
+    return out
+
+
 def get_embedder(multires: int, i: int = 0):
     """(embed_fn, out_dim) — the reference factory surface
     (reference nerf.py:43-58). i=-1 selects the identity embedding."""

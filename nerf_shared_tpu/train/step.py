@@ -246,6 +246,8 @@ def make_fused_train_step(
     dist_reg: float = 0.0,
     pose_anchor: bool = True,
     pose_start: int = 0,
+    barf_end: int = 0,
+    barf_start: int = 0,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -324,8 +326,25 @@ def make_fused_train_step(
             ray_batch = pack_ray_batch(
                 rays_o, rays_d, rcfg, spec.H, spec.W, spec.fx
             )
+            render_params = params
+            if barf_end > 0:
+                # BARF coarse-to-fine annealing (--barf_anneal): render with
+                # frequency-annealed first-layer weights; gradients reach the
+                # stored params mask-scaled, so masked bands stay untrained
+                # until their ramp opens (models/nerf.anneal_nerf_params)
+                from nerf_shared_tpu.models.nerf import anneal_nerf_params
+
+                denom = float(max(1, barf_end - barf_start))
+                progress = jnp.clip(
+                    (state.step - barf_start) / denom, 0.0, 1.0)
+                render_params = dict(params)
+                render_params["coarse"] = anneal_nerf_params(
+                    params["coarse"], ccfg, progress)
+                if fcfg is not None and "fine" in params:
+                    render_params["fine"] = anneal_nerf_params(
+                        params["fine"], fcfg, progress)
             loss, aux = nerf_loss(
-                params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
+                render_params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
                 acc_reg=acc_reg, tv_reg=tv_reg, prop_reg=prop_reg,
                 dist_reg=dist_reg,
             )
