@@ -184,11 +184,22 @@ def train(args):
         print(f"BARF annealing: frequency bands ramp over steps "
               f"[{int(getattr(args, 'barf_anneal_start', 0))}, "
               f"{int(args.barf_anneal)}]")
+    appearance = bool(getattr(args, "appearance", False))
+    if appearance and bool(getattr(args, "train_occ", False)):
+        raise SystemExit(
+            "--appearance currently targets the hierarchical/proposal "
+            "trainer (the occ trainer computes its loss outside "
+            "train/step.nerf_loss)")
     state = get_train_state(
-        args, n_refine_poses=len(ds.i_train) if refine_poses else 0)
+        args, n_refine_poses=len(ds.i_train) if refine_poses else 0,
+        n_appearance=len(ds.i_train) if appearance else 0)
     if refine_poses:
         print(f"pose refinement: {len(ds.i_train)} learnable se(3) "
               f"corrections (lr {getattr(args, 'pose_lrate', 1e-3)})")
+    if appearance:
+        print(f"appearance: {len(ds.i_train)} per-image exposure/WB "
+              f"corrections (lr {getattr(args, 'appearance_lrate', 1e-3)}); "
+              "eval renders the canonical (uncorrected) radiance")
     state, start = ckpt_utils.load_checkpoint(state, args)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     renderer = get_renderer(args, ds.bds_dict)

@@ -278,6 +278,17 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--pose_anchor", type=_str2bool, default=True,
                         help='pin the first train image\'s twist to '
                              'identity (gauge fixing)')
+    parser.add_argument("--appearance", type=_str2bool, default=False,
+                        help='learn a per-train-image exposure/white-'
+                             'balance correction (diagonal affine on the '
+                             'rendered color, NeRF-W-style) jointly with '
+                             'the field — rescues real captures shot with '
+                             'auto-exposure; eval renders the uncorrected '
+                             'canonical radiance. Image 0 anchors the '
+                             'exposure gauge')
+    parser.add_argument("--appearance_lrate", type=float, default=1e-3,
+                        help='learning rate for the appearance group '
+                             '(own Adam, shared decay schedule)')
     parser.add_argument("--barf_anneal", type=int, default=0,
                         help='BARF coarse-to-fine annealing (Lin et al. '
                              '2021): positional-encoding frequency bands '

@@ -145,12 +145,15 @@ def get_optimizer(args):
     return make_optimizer(args.lrate, args.lrate_decay)
 
 
-def get_train_state(args, key=None, n_refine_poses: int = 0) -> TrainState:
+def get_train_state(args, key=None, n_refine_poses: int = 0,
+                    n_appearance: int = 0) -> TrainState:
     """TrainState with one Adam over coarse(+fine) params
     (reference utils.py:163-172 + main.py:107-112 LR decay).
 
     ``n_refine_poses`` > 0 adds the [n, 6] pose-twist group with its own
-    learning rate (--refine_poses, train/pose_refine.py)."""
+    learning rate (--refine_poses, train/pose_refine.py);
+    ``n_appearance`` > 0 likewise the per-image exposure/WB group
+    (--appearance, train/appearance.py)."""
     key = key if key is not None else jax.random.PRNGKey(args.jax_seed)
     ccfg, fcfg = nerf_configs(args)
     grid_lr = (
@@ -161,4 +164,6 @@ def get_train_state(args, key=None, n_refine_poses: int = 0) -> TrainState:
         key, ccfg, fcfg, lrate=args.lrate, lrate_decay=args.lrate_decay,
         grid_lrate=grid_lr, n_refine_poses=n_refine_poses,
         pose_lrate=float(getattr(args, "pose_lrate", 1e-3)),
+        n_appearance=n_appearance,
+        appearance_lrate=float(getattr(args, "appearance_lrate", 1e-3)),
     )

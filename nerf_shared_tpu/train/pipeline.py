@@ -82,10 +82,15 @@ def sample_ray_batch(
     spec: PixelSamplerSpec,
     batch_offset=0,          # this device's offset into the global batch
                              # (exact_epochs sharding)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_img_idx: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Draw N_rand rays + target pixels fully on device.
 
-    Returns (rays_o [N,3], rays_d [N,3], target [N,3]).
+    Returns (rays_o [N,3], rays_d [N,3], target [N,3]); with
+    ``return_img_idx`` also the source train-image index per ray
+    ([N] int32 — broadcast from the step's single draw in single_image
+    mode), consumed by per-image parameter groups (--appearance,
+    train/appearance.py).
     """
     n_train = images.shape[0]
     k_img, k_y, k_x = jax.random.split(key, 3)
@@ -167,4 +172,8 @@ def sample_ray_batch(
         rays_o = pose[:, :3, 3]
         target = images[img_idx, y, x]
 
+    if return_img_idx:
+        idx = jnp.broadcast_to(jnp.asarray(img_idx, jnp.int32),
+                               (spec.N_rand,))
+        return rays_o, rays_d, target, idx
     return rays_o, rays_d, target

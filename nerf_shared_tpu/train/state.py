@@ -48,6 +48,7 @@ def make_optimizer(
     lrate_decay: int,
     grid_lrate: Optional[float] = None,
     pose_lrate: Optional[float] = None,
+    appearance_lrate: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """Adam(betas=(0.9, 0.999), eps=1e-8) matching torch defaults
     (reference utils.py:170). With ``grid_lrate``, grid-family parameters
@@ -55,14 +56,16 @@ def make_optimizer(
     that rate — explicit spatial features want ~40x the decoder rate
     (TensoRF/DVGO practice). With ``pose_lrate``, the "pose_twists" group
     (train/pose_refine.py) gets its own Adam — camera corrections want a
-    rate decoupled from the field's (BARF practice). All groups share the
-    exponential decay schedule."""
+    rate decoupled from the field's (BARF practice). With
+    ``appearance_lrate``, the "appearance" group (per-image exposure/WB
+    corrections, train/appearance.py) likewise gets its own Adam. All
+    groups share the exponential decay schedule."""
 
     def adam(lr):
         return optax.adam(learning_rate=lr_schedule(lr, lrate_decay),
                           b1=0.9, b2=0.999, eps=1e-8)
 
-    if grid_lrate is None and pose_lrate is None:
+    if grid_lrate is None and pose_lrate is None and appearance_lrate is None:
         return adam(lrate)
 
     # only the requested groups exist — the g{i}/ checkpoint schema is
@@ -73,6 +76,8 @@ def make_optimizer(
         transforms["grid"] = adam(grid_lrate)
     if pose_lrate is not None:
         transforms["pose"] = adam(pose_lrate)
+    if appearance_lrate is not None:
+        transforms["appearance"] = adam(appearance_lrate)
 
     def labels(params):
         def label(path, _):
@@ -80,6 +85,8 @@ def make_optimizer(
                     for p in path]
             if pose_lrate is not None and "pose_twists" in keys:
                 return "pose"
+            if appearance_lrate is not None and "appearance" in keys:
+                return "appearance"
             if grid_lrate is not None and "planes" in keys:
                 return "grid"
             return "net"
@@ -109,6 +116,8 @@ def create_train_state(
     grid_lrate: Optional[float] = None,
     n_refine_poses: int = 0,
     pose_lrate: float = 1e-3,
+    n_appearance: int = 0,
+    appearance_lrate: float = 1e-3,
 ) -> TrainState:
     kc, kf = jax.random.split(key)
     params = {"coarse": _init_params(kc, coarse_cfg)}
@@ -118,11 +127,17 @@ def create_train_state(
         from nerf_shared_tpu.train.pose_refine import init_pose_twists
 
         params["pose_twists"] = init_pose_twists(n_refine_poses)
+    if n_appearance > 0:
+        from nerf_shared_tpu.train.appearance import init_appearance
+
+        params["appearance"] = init_appearance(n_appearance)
     if grid_lrate is None and not isinstance(coarse_cfg, NeRFConfig):
         grid_lrate = 2e-2
     tx = make_optimizer(lrate, lrate_decay, grid_lrate=grid_lrate,
                         pose_lrate=pose_lrate if n_refine_poses > 0
-                        else None)
+                        else None,
+                        appearance_lrate=appearance_lrate
+                        if n_appearance > 0 else None)
     import jax.numpy as jnp
 
     return TrainState(

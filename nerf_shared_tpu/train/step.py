@@ -63,8 +63,17 @@ def nerf_loss(
     tv_reg: float = 0.0,
     prop_reg: float = 1.0,
     dist_reg: float = 0.0,
+    appearance: Optional[Dict] = None,
+    img_idx: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98).
+
+    ``appearance`` + ``img_idx`` apply the per-image exposure/WB
+    correction (train/appearance.py) to every pass's composited color
+    before its mse — the correction models the CAMERA, so coarse and fine
+    renders get the same per-ray affine map; the reported psnr is then
+    measured in each image's own exposure frame, same as the raw-pixel
+    loss it replaces.
 
     ``dist_reg`` > 0 adds the mip-NeRF 360 distortion loss
     (ops/compositing.distortion_loss) over the final pass's weights —
@@ -96,6 +105,12 @@ def nerf_loss(
         retraw_coarse=acc_reg > 0.0,
         retweights=rcfg.proposal or dist_reg > 0.0,
     )
+    if appearance is not None:
+        from nerf_shared_tpu.train.appearance import apply_appearance
+
+        ret["rgb_map"] = apply_appearance(appearance, img_idx, ret["rgb_map"])
+        if "rgb0" in ret:
+            ret["rgb0"] = apply_appearance(appearance, img_idx, ret["rgb0"])
     img_loss = img2mse(ret["rgb_map"], target)
     loss = img_loss
     aux = {"img_loss": img_loss, "psnr": mse2psnr(img_loss)}
@@ -248,6 +263,7 @@ def make_fused_train_step(
     pose_start: int = 0,
     barf_end: int = 0,
     barf_start: int = 0,
+    appearance_anchor: bool = True,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -318,10 +334,24 @@ def make_fused_train_step(
                                     twists.dtype).at[0, 0].set(0.0)
                     twists = twists * mask
                 poses_used = apply_pose_twists(twists, poses)
-            rays_o, rays_d, target = sample_ray_batch(
+            # per-image appearance correction (--appearance): the sampled
+            # rays' source-image indices key the gain/offset gathers inside
+            # nerf_loss (train/appearance.py)
+            use_app = "appearance" in params
+            sampled = sample_ray_batch(
                 k_sample, images, poses_used, state.step, local_spec,
-                batch_offset=batch_offset,
+                batch_offset=batch_offset, return_img_idx=use_app,
             )
+            rays_o, rays_d, target = sampled[:3]
+            img_idx = sampled[3] if use_app else None
+            app = None
+            if use_app:
+                from nerf_shared_tpu.train.appearance import (
+                    anchor_appearance,
+                )
+
+                app = (anchor_appearance(params["appearance"])
+                       if appearance_anchor else params["appearance"])
             target = jax.lax.stop_gradient(target)
             ray_batch = pack_ray_batch(
                 rays_o, rays_d, rcfg, spec.H, spec.W, spec.fx
@@ -346,8 +376,11 @@ def make_fused_train_step(
             loss, aux = nerf_loss(
                 render_params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
                 acc_reg=acc_reg, tv_reg=tv_reg, prop_reg=prop_reg,
-                dist_reg=dist_reg,
+                dist_reg=dist_reg, appearance=app, img_idx=img_idx,
             )
+            if use_app:
+                aux["gain_norm"] = jnp.sqrt(
+                    jnp.mean(params["appearance"]["gain"] ** 2))
             if "pose_twists" in params:
                 aux["twist_norm"] = jnp.sqrt(
                     jnp.mean(params["pose_twists"] ** 2))

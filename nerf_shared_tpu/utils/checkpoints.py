@@ -496,29 +496,31 @@ def load_checkpoint(
     if not ckpts or args.no_reload:
         return state, 0
     path = ckpts[checkpoint_index if checkpoint_index is not None else -1]
-    want_twists = "pose_twists" in state.params
-    if want_twists and path.endswith(".tar"):
-        # the torch .tar schema has no pose-twist group; a same-step native
-        # sibling (default --ckpt_format both) carries the full state
+    # auxiliary per-image parameter groups ride the NATIVE schema only;
+    # the torch .tar layout is the reference's field-only contract
+    aux_groups = {"pose_twists": "--refine_poses pose twists",
+                  "appearance": "--appearance exposure corrections"}
+    wanted = [k for k in aux_groups if k in state.params]
+    if wanted and path.endswith(".tar"):
+        # a same-step native sibling (default --ckpt_format both) carries
+        # the full state including the aux groups
         sibling = path[: -len(".tar")] + ".ckpt.npz"
         if sibling in ckpts:
             path = sibling
     print(f"Reloading from {path}")
     if path.endswith(".npz"):
         params, opt_flat, step = load_native(path)
-        have_twists = "pose_twists" in params
-        if have_twists and not want_twists:
-            print("checkpoint carries pose twists but --refine_poses is "
-                  "off: dropping them (rays use the dataset poses; Adam "
-                  "moments reset)")
-            params.pop("pose_twists")
-            opt_flat = None
-        elif want_twists and not have_twists:
-            print("--refine_poses is on but the checkpoint has no twists: "
-                  "starting them at identity (Adam moments reset)")
-            params["pose_twists"] = jax.device_get(
-                state.params)["pose_twists"]
-            opt_flat = None
+        for k, label in aux_groups.items():
+            if k in params and k not in state.params:
+                print(f"checkpoint carries {label} but the flag is off: "
+                      "dropping them (Adam moments reset)")
+                params.pop(k)
+                opt_flat = None
+            elif k in state.params and k not in params:
+                print(f"{label} requested but absent from the checkpoint: "
+                      "starting them at identity (Adam moments reset)")
+                params[k] = jax.device_get(state.params)[k]
+                opt_flat = None
         params = jax.tree_util.tree_map(
             lambda a, b: jnp.asarray(a, jnp.asarray(b).dtype),
             params,
@@ -526,12 +528,11 @@ def load_checkpoint(
         )
     else:
         params, opt_flat, step = load_tar(path, jax.device_get(state.params))
-        if want_twists:
-            print("torch .tar has no pose-twist group: twists start at "
+        for k in wanted:
+            print(f"torch .tar has no {aux_groups[k]} group: starting at "
                   "identity (Adam moments reset — the .tar's single-adam "
-                  "schema cannot map onto the pose/net group split)")
-            params["pose_twists"] = jax.device_get(
-                state.params)["pose_twists"]
+                  "schema cannot map onto the group split)")
+            params[k] = jax.device_get(state.params)[k]
             opt_flat = None
     new_state = state.replace(
         step=jnp.asarray(step, jnp.int32),
