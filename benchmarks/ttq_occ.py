@@ -108,6 +108,12 @@ def main():
                          "MLP FLOPs")
     ap.add_argument("--proposal_width", type=int, default=64)
     ap.add_argument("--proposal_depth", type=int, default=2)
+    ap.add_argument("--loss_sampling", action="store_true",
+                    help="hierarchical/proposal row draws --loss_frac of "
+                         "each batch from the per-(image, tile) error EMA "
+                         "map (--loss_sampling in the CLI, "
+                         "train/loss_sampling.py)")
+    ap.add_argument("--loss_frac", type=float, default=0.5)
     ap.add_argument("--netdepth", type=int, default=8,
                     help="MLP depth (smaller for CPU smoke tests)")
     ap.add_argument("--netwidth", type=int, default=256)
@@ -164,21 +170,37 @@ def main():
     if not a.skip_hierarchical:
         import dataclasses as _dch
 
-        state = create_train_state(jax.random.PRNGKey(0), ccfg_h, cfg,
-                                   lrate=5e-4, lrate_decay=250)
+        ls = None
+        if a.loss_sampling:
+            from nerf_shared_tpu.train.loss_sampling import (
+                LossSamplingSpec,
+                init_loss_map,
+            )
+
+            ls = LossSamplingSpec(frac=a.loss_frac)
+
+        def _mk_state():
+            st = create_train_state(jax.random.PRNGKey(0), ccfg_h, cfg,
+                                    lrate=5e-4, lrate_decay=250)
+            if ls is not None:
+                st = st.replace(aux_state={"loss_map": init_loss_map(
+                    len(i_train), H, W, ls.tile)})
+            return st
+
+        state = _mk_state()
         step = make_fused_train_step(rcfg, ccfg_h, cfg, spec,
                                      inner_steps=inner,
-                                     donate=False, tv_reg=a.tv)
+                                     donate=False, tv_reg=a.tv,
+                                     loss_sampling=ls)
         # warmup sigma noise: the robust escape from the white-background
         # transparency trap (precrop alone is RNG-fragile at 400p on the
         # hard scene — measured; the occ phase below has used this since
         # round 2). raw_noise_std is the reference's own regularizer.
         step_warm = make_fused_train_step(
             _dch.replace(rcfg, raw_noise_std=1.0), ccfg_h, cfg, spec,
-            inner_steps=inner, donate=False, tv_reg=a.tv)
+            inner_steps=inner, donate=False, tv_reg=a.tv, loss_sampling=ls)
         state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))
-        state = create_train_state(jax.random.PRNGKey(0), ccfg_h, cfg,
-                                   lrate=5e-4, lrate_decay=250)
+        state = _mk_state()
         # triplane coarse-to-fine: "step:G,step:G" milestones — upsample
         # the planes, restart the optimizer at the continued schedule step
         # (fresh_state_at), rebuild the jitted steps + eval for the new G.
@@ -205,15 +227,19 @@ def main():
                 pf, _ = upsample_triplane(state.params["fine"], hcfg,
                                           new_G)
                 hcfg = new_cfg
+                aux_keep = state.aux_state
                 state = fresh_state_at({"coarse": pc, "fine": pf},
                                        int(state.step), lrate=5e-4,
-                                       lrate_decay=250, grid_lrate=2e-2)
+                                       lrate_decay=250, grid_lrate=2e-2
+                                       ).replace(aux_state=aux_keep)
                 step = make_fused_train_step(rcfg, hcfg, hcfg, spec,
                                              inner_steps=inner,
-                                             donate=False, tv_reg=a.tv)
+                                             donate=False, tv_reg=a.tv,
+                                             loss_sampling=ls)
                 step_warm = make_fused_train_step(
                     _dch.replace(rcfg, raw_noise_std=1.0), hcfg, hcfg,
-                    spec, inner_steps=inner, donate=False, tv_reg=a.tv)
+                    spec, inner_steps=inner, donate=False, tv_reg=a.tv,
+                    loss_sampling=ls)
                 eval_psnr = make_eval(images, poses, i_test, hcfg, H, W, K,
                                       on_tpu)
                 print(f"[UPSAMPLE] step {i}: planes -> {new_G}^2")
@@ -224,7 +250,8 @@ def main():
             wall = time.perf_counter() - t0
             rec = {"impl": ("proposal" if rcfg.proposal
                             else "hierarchical" if a.model == "nerf"
-                            else f"hierarchical_{a.model}"),
+                            else f"hierarchical_{a.model}")
+                   + ("+ls" if ls is not None else ""),
                    "step": i + inner,
                    "wall_s": round(wall, 2),
                    "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}

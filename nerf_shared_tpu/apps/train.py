@@ -190,6 +190,27 @@ def train(args):
             "--appearance currently targets the hierarchical/proposal "
             "trainer (the occ trainer computes its loss outside "
             "train/step.nerf_loss)")
+    ls_spec = None
+    if bool(getattr(args, "loss_sampling", False)):
+        if not args.no_batching:
+            raise SystemExit(
+                "--loss_sampling targets single-image sampling: add "
+                "--no_batching (the batching pipeline draws across all "
+                "images per step)")
+        if bool(getattr(args, "train_occ", False)):
+            raise SystemExit(
+                "--loss_sampling targets the hierarchical/proposal "
+                "trainer (the occ trainer has its own candidate sampler)")
+        from nerf_shared_tpu.train.loss_sampling import LossSamplingSpec
+
+        ls_spec = LossSamplingSpec(
+            tile=int(getattr(args, "loss_sampling_tile", 8)),
+            frac=float(getattr(args, "loss_sampling_frac", 0.5)),
+            decay=float(getattr(args, "loss_sampling_decay", 0.9)),
+        )
+        print(f"loss sampling: {ls_spec.frac:.0%} of rays from the "
+              f"per-image {ls_spec.tile}px-tile error map "
+              f"(EMA decay {ls_spec.decay})")
     state = get_train_state(
         args, n_refine_poses=len(ds.i_train) if refine_poses else 0,
         n_appearance=len(ds.i_train) if appearance else 0)
@@ -202,6 +223,14 @@ def train(args):
               "eval renders the canonical (uncorrected) radiance")
     state, start = ckpt_utils.load_checkpoint(state, args)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
+    if ls_spec is not None:
+        # the loss map is NOT checkpointed (train/loss_sampling.py): a
+        # resume starts it uniform and it re-warms within a few hundred
+        # steps
+        from nerf_shared_tpu.train.loss_sampling import init_loss_map
+
+        state = state.replace(aux_state={"loss_map": init_loss_map(
+            len(ds.i_train), H, W, ls_spec.tile)})
     renderer = get_renderer(args, ds.bds_dict)
 
     n_dev = len(jax.devices())
@@ -338,6 +367,7 @@ def train(args):
             pose_start=int(getattr(args, "refine_poses_from", 500)),
             barf_end=int(getattr(args, "barf_anneal", 0)),
             barf_start=int(getattr(args, "barf_anneal_start", 0)),
+            loss_sampling=ls_spec,
         )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
@@ -357,6 +387,7 @@ def train(args):
             pose_start=int(getattr(args, "refine_poses_from", 500)),
             barf_end=int(getattr(args, "barf_anneal", 0)),
             barf_start=int(getattr(args, "barf_anneal_start", 0)),
+            loss_sampling=ls_spec,
         )
         print(f"two-phase schedule: occ-gated until step {occ_until}, "
               f"hierarchical after")
@@ -546,11 +577,12 @@ def train(args):
                 pf, fcfg = upsample_triplane(state.params["fine"], fcfg,
                                              new_G)
                 params_up["fine"] = pf
+            aux_keep = state.aux_state   # loss map survives the upsample
             state = fresh_state_at(
                 params_up, int(jax.device_get(state.step)),
                 lrate=args.lrate, lrate_decay=args.lrate_decay,
                 grid_lrate=float(getattr(args, "grid_lrate", 2e-2)),
-            )
+            ).replace(aux_state=aux_keep)
             if mesh is not None:
                 state = replicate(mesh, state)
             step_fn = make_fused_train_step(
@@ -563,6 +595,7 @@ def train(args):
                 pose_start=int(getattr(args, "refine_poses_from", 500)),
                 barf_end=int(getattr(args, "barf_anneal", 0)),
                 barf_start=int(getattr(args, "barf_anneal_start", 0)),
+                loss_sampling=ls_spec,
             )
             if _mk_dense_hook is not None:
                 sharded_hook = _mk_dense_hook(ccfg, fcfg)

@@ -289,6 +289,21 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--appearance_lrate", type=float, default=1e-3,
                         help='learning rate for the appearance group '
                              '(own Adam, shared decay schedule)')
+    parser.add_argument("--loss_sampling", type=_str2bool, default=False,
+                        help='loss-guided pixel importance sampling: keep '
+                             'a per-(image, tile) EMA of the photometric '
+                             'error on device and draw a fraction of each '
+                             'batch proportional to it — rays concentrate '
+                             'on unconverged regions (edges, thin '
+                             'structures). single-image (no_batching) '
+                             'sampling only')
+    parser.add_argument("--loss_sampling_frac", type=float, default=0.5,
+                        help='fraction of N_rand drawn from the loss map '
+                             '(the rest keep the uniform draw)')
+    parser.add_argument("--loss_sampling_decay", type=float, default=0.9,
+                        help='EMA decay of observed tiles in the loss map')
+    parser.add_argument("--loss_sampling_tile", type=int, default=8,
+                        help='loss-map tile edge in pixels')
     parser.add_argument("--barf_anneal", type=int, default=0,
                         help='BARF coarse-to-fine annealing (Lin et al. '
                              '2021): positional-encoding frequency bands '

@@ -22,6 +22,10 @@ class TrainState:
     params: Dict[str, Any]          # {"coarse": ..., "fine": ... or absent}
     opt_state: Any = struct.field(pytree_node=True)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # non-learned device-resident training state (e.g. the loss-sampling
+    # tile map, train/loss_sampling.py); rides the superstep scan and
+    # donation, deliberately NOT checkpointed (re-warms after resume)
+    aux_state: Any = struct.field(pytree_node=True, default=None)
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)

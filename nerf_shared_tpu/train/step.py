@@ -65,6 +65,7 @@ def nerf_loss(
     dist_reg: float = 0.0,
     appearance: Optional[Dict] = None,
     img_idx: Optional[jnp.ndarray] = None,
+    return_ray_err: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """loss = mse(fine, target) [+ mse(coarse, target)] (main.py:87-98).
 
@@ -114,6 +115,11 @@ def nerf_loss(
     img_loss = img2mse(ret["rgb_map"], target)
     loss = img_loss
     aux = {"img_loss": img_loss, "psnr": mse2psnr(img_loss)}
+    if return_ray_err:
+        # per-ray error for the loss-sampling map (train/loss_sampling.py);
+        # popped from aux by the caller before metrics leave the step
+        aux["ray_err"] = jax.lax.stop_gradient(
+            jnp.mean((ret["rgb_map"] - target) ** 2, axis=-1))
     if "weights0" in ret:
         from nerf_shared_tpu.ops.compositing import interlevel_loss
 
@@ -264,6 +270,7 @@ def make_fused_train_step(
     barf_end: int = 0,
     barf_start: int = 0,
     appearance_anchor: bool = True,
+    loss_sampling=None,         # LossSamplingSpec (train/loss_sampling.py)
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -280,6 +287,11 @@ def make_fused_train_step(
 
     from nerf_shared_tpu.train.pipeline import sample_ray_batch
 
+    if loss_sampling is not None and not spec.single_image:
+        raise ValueError(
+            "--loss_sampling targets single-image sampling (no_batching); "
+            "the batching pipeline draws across all images per step and "
+            "would need a per-ray CDF per image")
     sharded = mesh is not None
     if sharded:
         n_data = mesh.shape["data"]
@@ -338,12 +350,29 @@ def make_fused_train_step(
             # rays' source-image indices key the gain/offset gathers inside
             # nerf_loss (train/appearance.py)
             use_app = "appearance" in params
-            sampled = sample_ray_batch(
-                k_sample, images, poses_used, state.step, local_spec,
-                batch_offset=batch_offset, return_img_idx=use_app,
-            )
-            rays_o, rays_d, target = sampled[:3]
-            img_idx = sampled[3] if use_app else None
+            coords = None
+            if loss_sampling is not None:
+                # loss-guided draw (--loss_sampling): a static fraction of
+                # the batch comes from the EMA error map carried in
+                # state.aux_state (train/loss_sampling.py)
+                from nerf_shared_tpu.train.loss_sampling import (
+                    sample_ray_batch_weighted,
+                )
+
+                rays_o, rays_d, target, img_idx, ys, xs = (
+                    sample_ray_batch_weighted(
+                        k_sample, images, poses_used, state.step,
+                        local_spec, state.aux_state["loss_map"],
+                        loss_sampling,
+                    ))
+                coords = (img_idx, ys, xs)
+            else:
+                sampled = sample_ray_batch(
+                    k_sample, images, poses_used, state.step, local_spec,
+                    batch_offset=batch_offset, return_img_idx=use_app,
+                )
+                rays_o, rays_d, target = sampled[:3]
+                img_idx = sampled[3] if use_app else None
             app = None
             if use_app:
                 from nerf_shared_tpu.train.appearance import (
@@ -377,7 +406,10 @@ def make_fused_train_step(
                 render_params, ray_batch, target, k_render, rcfg, ccfg, fcfg,
                 acc_reg=acc_reg, tv_reg=tv_reg, prop_reg=prop_reg,
                 dist_reg=dist_reg, appearance=app, img_idx=img_idx,
+                return_ray_err=loss_sampling is not None,
             )
+            if coords is not None:
+                aux["_ls_coords"] = coords
             if use_app:
                 aux["gain_norm"] = jnp.sqrt(
                     jnp.mean(params["appearance"]["gain"] ** 2))
@@ -387,13 +419,34 @@ def make_fused_train_step(
             return loss, aux
 
         (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_aux_state = state.aux_state
+        if loss_sampling is not None:
+            # fold the step's per-ray errors into the EMA tile map; the
+            # sampling arrays never leave the device or the scan
+            from nerf_shared_tpu.train.loss_sampling import update_loss_map
+
+            li, ly, lx = aux.pop("_ls_coords")
+            lerr = aux.pop("ray_err")
+            lmap = state.aux_state["loss_map"]
+            new_lmap = update_loss_map(lmap, li[0], ly, lx, lerr,
+                                       loss_sampling.tile,
+                                       loss_sampling.decay)
+            if sharded:
+                # each device updated its own image's row: apply the sum of
+                # deltas (colliding rows add — acceptable EMA noise)
+                new_lmap = lmap + jax.lax.psum(new_lmap - lmap,
+                                               axis_name="data")
+            new_aux_state = {**state.aux_state, "loss_map": new_lmap}
         if sharded:
             grads = jax.lax.pmean(grads, axis_name="data")
             aux = jax.lax.pmean(aux, axis_name="data")
             aux["psnr"] = mse2psnr(aux["img_loss"])
             if "img_loss0" in aux:
                 aux["psnr0"] = mse2psnr(aux["img_loss0"])
-        return state.apply_gradients(grads), aux
+        new_state = state.apply_gradients(grads)
+        if new_aux_state is not state.aux_state:
+            new_state = new_state.replace(aux_state=new_aux_state)
+        return new_state, aux
 
     def superstep(state: TrainState, images, poses, key):
         if inner_steps == 1:

@@ -40,9 +40,16 @@ timeout 1800 python -u benchmarks/mesh_bench.py > /tmp/mesh_bench.out 2>&1
 q "6/6 done rc=$?"
 q "all done"
 
-q "7/7 proposal-sampler ttq (hard scene, 200k, vs ttq_hard_200k.jsonl hierarchical rows)"
+q "7/8 proposal-sampler ttq (hard scene, 200k, vs ttq_hard_200k.jsonl hierarchical rows)"
 timeout 7200 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
   --steps 200000 --eval_every 5000 --warmup 2000 --precrop_iters 500 \
   --proposal --skip_occ \
   --log benchmarks/ttq_hard_proposal.jsonl > /tmp/ttq_proposal.out 2>&1
-q "7/7 done rc=$?"
+q "7/8 done rc=$?"
+
+q "8/8 loss-sampling ttq (hard scene, 20k, vs uniform hierarchical)"
+timeout 5400 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
+  --steps 20000 --eval_every 1000 --warmup 2000 --precrop_iters 500 \
+  --loss_sampling --skip_occ \
+  --log benchmarks/ttq_hard_ls.jsonl > /tmp/ttq_ls.out 2>&1
+q "8/8 done rc=$?"
