@@ -102,7 +102,20 @@ def run_mesh(args):
     _resolve_triplane_aabb(args, ds, H, W)
     ccfg, fcfg = nerf_configs(args)
     state = get_train_state(args)
+    if float(getattr(args, "ema_decay", 0.0)) > 0.0:
+        # mesh the same weights eval renders: the EMA shadow (sidecar of
+        # native checkpoints; falls back to raw params for pre-EMA files)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        state = state.replace(aux_state={"ema": {
+            k: _jax.tree_util.tree_map(_jnp.copy, state.params[k])
+            for k in ("coarse", "fine") if k in state.params}})
     state, start = ckpt_utils.load_checkpoint(state, args)
+    if isinstance(state.aux_state, dict) and "ema" in state.aux_state:
+        params_ema = dict(state.params)
+        params_ema.update(state.aux_state["ema"])
+        state = state.replace(params=params_ema)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     if start == 0:
         print("warning: no checkpoint found; meshing a random field")

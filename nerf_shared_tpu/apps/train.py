@@ -73,6 +73,21 @@ def _barf_state(state, args, ccfg, fcfg, step):
     return state.replace(params=params)
 
 
+def _eval_state(state, args, ccfg, fcfg, step):
+    """State whose params are what EVAL should render: the EMA shadow when
+    --ema_decay is on (training always uses the raw params), then the
+    BARF annealing mask of the step (training and eval must agree on the
+    effective encoder). Never used for checkpointing."""
+    st = state
+    if float(getattr(args, "ema_decay", 0.0)) > 0.0 \
+            and isinstance(state.aux_state, dict) \
+            and "ema" in state.aux_state:
+        params = dict(st.params)
+        params.update(state.aux_state["ema"])
+        st = st.replace(params=params)
+    return _barf_state(st, args, ccfg, fcfg, step)
+
+
 def _grid_select(args) -> str:
     """Candidate-selection policy forwarded to occ renders: only grid mode
     has the knob — froxel mode raises on non-default select (and applies
@@ -211,6 +226,14 @@ def train(args):
         print(f"loss sampling: {ls_spec.frac:.0%} of rays from the "
               f"per-image {ls_spec.tile}px-tile error map "
               f"(EMA decay {ls_spec.decay})")
+    ema_decay = float(getattr(args, "ema_decay", 0.0))
+    if ema_decay > 0.0:
+        if bool(getattr(args, "train_occ", False)):
+            raise SystemExit(
+                "--ema_decay targets the hierarchical/proposal trainer "
+                "(the occ trainer does not maintain the EMA shadow)")
+        print(f"EMA eval: decay {ema_decay} shadow of the field params "
+              "(training uses raw params; eval/render use the average)")
     state = get_train_state(
         args, n_refine_poses=len(ds.i_train) if refine_poses else 0,
         n_appearance=len(ds.i_train) if appearance else 0)
@@ -221,6 +244,12 @@ def train(args):
         print(f"appearance: {len(ds.i_train)} per-image exposure/WB "
               f"corrections (lr {getattr(args, 'appearance_lrate', 1e-3)}); "
               "eval renders the canonical (uncorrected) radiance")
+    if ema_decay > 0.0:
+        # marker BEFORE load: load_checkpoint restores the ema/ sidecar
+        # into this slot (or restarts the shadow at the loaded params)
+        state = state.replace(aux_state={"ema": {
+            k: jax.tree_util.tree_map(jnp.copy, state.params[k])
+            for k in ("coarse", "fine") if k in state.params}})
     state, start = ckpt_utils.load_checkpoint(state, args)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     if ls_spec is not None:
@@ -229,8 +258,10 @@ def train(args):
         # steps
         from nerf_shared_tpu.train.loss_sampling import init_loss_map
 
-        state = state.replace(aux_state={"loss_map": init_loss_map(
-            len(ds.i_train), H, W, ls_spec.tile)})
+        state = state.replace(aux_state={
+            **(state.aux_state or {}),
+            "loss_map": init_loss_map(len(ds.i_train), H, W, ls_spec.tile),
+        })
     renderer = get_renderer(args, ds.bds_dict)
 
     n_dev = len(jax.devices())
@@ -368,6 +399,7 @@ def train(args):
             barf_end=int(getattr(args, "barf_anneal", 0)),
             barf_start=int(getattr(args, "barf_anneal_start", 0)),
             loss_sampling=ls_spec,
+            ema_decay=ema_decay,
         )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
@@ -578,6 +610,13 @@ def train(args):
                                              new_G)
                 params_up["fine"] = pf
             aux_keep = state.aux_state   # loss map survives the upsample
+            if isinstance(aux_keep, dict) and "ema" in aux_keep:
+                # plane shapes changed: restart the EMA shadow at the
+                # upsampled params (the old shadow re-warms in ~1/(1-decay)
+                # steps)
+                aux_keep = {**aux_keep, "ema": {
+                    k: jax.tree_util.tree_map(jnp.copy, params_up[k])
+                    for k in aux_keep["ema"]}}
             state = fresh_state_at(
                 params_up, int(jax.device_get(state.step)),
                 lrate=args.lrate, lrate_decay=args.lrate_decay,
@@ -596,6 +635,7 @@ def train(args):
                 barf_end=int(getattr(args, "barf_anneal", 0)),
                 barf_start=int(getattr(args, "barf_anneal_start", 0)),
                 loss_sampling=ls_spec,
+                ema_decay=ema_decay,
             )
             if _mk_dense_hook is not None:
                 sharded_hook = _mk_dense_hook(ccfg, fcfg)
@@ -655,7 +695,7 @@ def train(args):
             print(f"Saved checkpoints at {paths}")
 
         if args.i_testset > 0 and last % args.i_testset == 0 and last > 0:
-            est = _barf_state(state, args, ccfg, fcfg, last)
+            est = _eval_state(state, args, ccfg, fcfg, last)
             coarse, fine = _models_from_state(est, ccfg, fcfg)
             testsavedir = os.path.join(
                 args.basedir, args.expname, f"testset_{last:06d}"
@@ -680,7 +720,7 @@ def train(args):
         # commented-out TF1 block (utils.py:506-532); this is the working
         # equivalent.
         if args.i_img > 0 and last % args.i_img == 0 and last > 0 and len(ds.i_val):
-            est = _barf_state(state, args, ccfg, fcfg, last)
+            est = _eval_state(state, args, ccfg, fcfg, last)
             coarse, fine = _models_from_state(est, ccfg, fcfg)
             val_i = int(ds.i_val[(last // args.i_img) % len(ds.i_val)])
             occ_g = _occ_for(state, last)
@@ -721,7 +761,7 @@ def train(args):
         # spiral/render-path video — the hook the reference intended but
         # left commented on a broken render_path (main.py:120-124)
         if args.i_video > 0 and last % args.i_video == 0 and last > 0:
-            est = _barf_state(state, args, ccfg, fcfg, last)
+            est = _eval_state(state, args, ccfg, fcfg, last)
             coarse, fine = _models_from_state(est, ccfg, fcfg)
             videodir = os.path.join(
                 args.basedir, args.expname, f"video_{last:06d}"
@@ -833,12 +873,19 @@ def render_only(args, return_rgbs: bool = False, ds=None):
         args,
         n_refine_poses=(len(ds.i_train)
                         if getattr(args, "refine_poses", False) else 0))
+    if float(getattr(args, "ema_decay", 0.0)) > 0.0:
+        # marker: load_checkpoint restores the EMA sidecar into this slot
+        # so render_only serves the averaged weights, like the eval hooks
+        state = state.replace(aux_state={"ema": {
+            k: jax.tree_util.tree_map(jnp.copy, state.params[k])
+            for k in ("coarse", "fine") if k in state.params}})
     state, start = ckpt_utils.load_checkpoint(state, args)
     ccfg, fcfg = _sync_triplane_res(state, ccfg, fcfg)
     renderer = get_renderer(args, ds.bds_dict)
-    # a checkpoint saved mid-anneal (--barf_anneal) renders with the mask
-    # its training saw — past the ramp this is a no-op
-    state = _barf_state(state, args, ccfg, fcfg, start)
+    # EMA shadow if --ema_decay (falls back to raw params for pre-EMA
+    # checkpoints), then a mid-anneal (--barf_anneal) mask — past the ramp
+    # this is a no-op
+    state = _eval_state(state, args, ccfg, fcfg, start)
     coarse, fine = _models_from_state(state, ccfg, fcfg)
 
     suffix = "test" if args.render_test else "path"

@@ -289,6 +289,15 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--appearance_lrate", type=float, default=1e-3,
                         help='learning rate for the appearance group '
                              '(own Adam, shared decay schedule)')
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help='exponential moving average of the field '
+                             'params for EVAL renders (0 = off; try '
+                             '0.999): test-set/video hooks, render_only, '
+                             'and checkpointed eval use the averaged '
+                             'weights — a free quality win late in '
+                             'training. The shadow rides the native '
+                             'checkpoint as an ema/ sidecar; training '
+                             'itself always uses the raw params')
     parser.add_argument("--loss_sampling", type=_str2bool, default=False,
                         help='loss-guided pixel importance sampling: keep '
                              'a per-(image, tile) EMA of the photometric '

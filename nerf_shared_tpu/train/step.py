@@ -271,6 +271,7 @@ def make_fused_train_step(
     barf_start: int = 0,
     appearance_anchor: bool = True,
     loss_sampling=None,         # LossSamplingSpec (train/loss_sampling.py)
+    ema_decay: float = 0.0,
 ):
     """The production step: pixel sampling + render + backward + Adam fused
     into one XLA program, optionally lax.scan'ed over ``inner_steps``
@@ -444,6 +445,15 @@ def make_fused_train_step(
             if "img_loss0" in aux:
                 aux["psnr0"] = mse2psnr(aux["img_loss0"])
         new_state = state.apply_gradients(grads)
+        if ema_decay > 0.0:
+            # EMA shadow of the field params for eval (--ema_decay):
+            # identical across devices (params are, post-pmean), so no
+            # collective is needed
+            ema_old = state.aux_state["ema"]
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema_old, {k: new_state.params[k] for k in ema_old})
+            new_aux_state = {**(new_aux_state or {}), "ema": new_ema}
         if new_aux_state is not state.aux_state:
             new_state = new_state.replace(aux_state=new_aux_state)
         return new_state, aux

@@ -74,9 +74,14 @@ def _unflatten(flat: Dict[str, np.ndarray]):
 # ---------------------------------------------------------------------------
 
 
-def save_native(path: str, params: Dict, opt_state_flat: Dict, global_step: int):
+def save_native(path: str, params: Dict, opt_state_flat: Dict,
+                global_step: int, ema: Dict = None):
     flat = {f"params/{k}": v for k, v in _flatten(params).items()}
     flat.update({f"opt/{k}": v for k, v in opt_state_flat.items()})
+    if ema is not None:
+        # EMA shadow of coarse/fine (--ema_decay, train/step.py): a
+        # sidecar namespace so the params/ schema stays byte-stable
+        flat.update({f"ema/{k}": v for k, v in _flatten(ema).items()})
     flat["global_step"] = np.asarray(global_step, np.int64)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     np.savez(path, **flat)
@@ -91,6 +96,17 @@ def load_native(path: str) -> Tuple[Dict, Dict, int]:
     )
     opt = {k[len("opt/"):]: v for k, v in flat.items() if k.startswith("opt/")}
     return params, opt, step
+
+
+def load_native_ema(path: str):
+    """The EMA sidecar of a native checkpoint, or None (pre-EMA file or
+    .tar)."""
+    if not path.endswith(".npz"):
+        return None
+    with np.load(path) as z:
+        flat = {k[len("ema/"):]: z[k] for k in z.files
+                if k.startswith("ema/")}
+    return _unflatten(flat) if flat else None
 
 
 def _adam_parts(opt_state):
@@ -437,6 +453,10 @@ def save_checkpoints(
     params = jax.device_get(state.params)
     opt_flat = adam_state_to_flat(jax.device_get(state.opt_state))
     step = int(jax.device_get(state.step))
+    ema = None
+    if isinstance(getattr(state, "aux_state", None), dict) \
+            and "ema" in state.aux_state:
+        ema = jax.device_get(state.aux_state["ema"])
     if fmt not in ("native", "tar", "both"):
         raise ValueError(
             f"unknown checkpoint format {fmt!r} (native | tar | both) — "
@@ -453,7 +473,7 @@ def save_checkpoints(
             "layout); use --ckpt_format native for this model")
     if fmt in ("native", "both") or not tar_able:
         p = os.path.join(expdir, f"{i:06d}.ckpt.npz")
-        save_native(p, params, opt_flat, step)
+        save_native(p, params, opt_flat, step, ema=ema)
         paths.append(p)
     if fmt in ("tar", "both") and tar_able:
         p = os.path.join(expdir, f"{i:06d}.tar")
@@ -538,6 +558,19 @@ def load_checkpoint(
         step=jnp.asarray(step, jnp.int32),
         params=jax.tree_util.tree_map(jnp.asarray, params),
     )
+    if isinstance(getattr(state, "aux_state", None), dict) \
+            and "ema" in state.aux_state:
+        # the caller trains with --ema_decay: restore the EMA sidecar, or
+        # (pre-EMA checkpoint / .tar) restart the shadow at the loaded
+        # params
+        ema = load_native_ema(path)
+        if ema is None:
+            ema = {k: jax.tree_util.tree_map(jnp.copy, new_state.params[k])
+                   for k in state.aux_state["ema"]}
+        else:
+            ema = jax.tree_util.tree_map(jnp.asarray, ema)
+        new_state = new_state.replace(
+            aux_state={**state.aux_state, "ema": ema})
     if opt_flat is not None:
         new_state = new_state.replace(
             opt_state=flat_to_adam_state(state.tx, new_state.params, opt_flat)

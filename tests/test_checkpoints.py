@@ -188,3 +188,49 @@ def test_resume_continues_training(tmp_path):
     restored, _ = ckpt.load_checkpoint(fresh, Args(str(tmp_path), "exp"))
     resumed = _advance(restored, 3)
     trees_equal(cont.params, resumed.params, rtol=1e-5)
+
+
+def test_ema_sidecar_roundtrip(tmp_path):
+    """--ema_decay: the EMA shadow rides the native checkpoint as an ema/
+    sidecar; load_checkpoint restores it into a marked aux_state slot, and
+    restarts the shadow at the loaded params for pre-EMA files."""
+    state, _ = small_state()
+    state = _advance(state)
+    shadow = {k: jax.tree_util.tree_map(lambda x: x * 0.5 + 0.1,
+                                        state.params[k])
+              for k in ("coarse", "fine")}
+    state = state.replace(aux_state={"ema": shadow})
+    args = Args(str(tmp_path), "exp")
+    ckpt.save_checkpoints(args.basedir, args.expname, state, i=7, fmt="native")
+
+    # sidecar readable standalone
+    p = os.path.join(str(tmp_path), "exp", "000007.ckpt.npz")
+    got = ckpt.load_native_ema(p)
+    trees_equal(got, shadow)
+
+    # marked fresh state restores the sidecar
+    fresh, _ = small_state()
+    fresh = fresh.replace(aux_state={"ema": {
+        k: jax.tree_util.tree_map(jnp.copy, fresh.params[k])
+        for k in ("coarse", "fine")}})
+    loaded, start = ckpt.load_checkpoint(fresh, args)
+    assert start == 3  # the saved global_step (3 fake steps), not the filename index
+    trees_equal(loaded.aux_state["ema"], shadow)
+    trees_equal(loaded.params, state.params)
+
+    # unmarked state ignores the sidecar entirely
+    plain, _ = small_state()
+    loaded2, _ = ckpt.load_checkpoint(plain, args)
+    assert loaded2.aux_state is None
+
+    # pre-EMA checkpoint + marked state: shadow restarts at loaded params
+    state2, _ = small_state()
+    state2 = _advance(state2, n=5)
+    args2 = Args(str(tmp_path), "exp2")
+    ckpt.save_checkpoints(args2.basedir, args2.expname, state2, i=3, fmt="native")
+    fresh2, _ = small_state()
+    fresh2 = fresh2.replace(aux_state={"ema": {
+        k: jax.tree_util.tree_map(jnp.copy, fresh2.params[k])
+        for k in ("coarse", "fine")}})
+    loaded3, _ = ckpt.load_checkpoint(fresh2, args2)
+    trees_equal(loaded3.aux_state["ema"], loaded3.params)

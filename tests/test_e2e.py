@@ -924,3 +924,57 @@ def test_e2e_proposal_excludes_occ_trainer(tmp_path):
     args = config_parser().parse_args(["--config", cfg_path])
     with pytest.raises(SystemExit, match="alternative accelerants"):
         run(args)
+
+
+def test_e2e_ema_eval(tmp_path):
+    """--ema_decay through the CLI: trains, saves the ema/ sidecar, resumes
+    with the shadow restored, and render_only serves the averaged weights
+    (different pixels from a raw-weights render of the same checkpoint)."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(root, datadir, logdir, ema_decay=0.9,
+                             ckpt_format="native")
+
+    args = config_parser().parse_args(["--config", cfg_path])
+    run(args)
+
+    expdir = os.path.join(logdir, "tiny_e2e")
+    npzs = sorted(glob.glob(os.path.join(expdir, "*.ckpt.npz")))
+    assert npzs
+    from nerf_shared_tpu.utils.checkpoints import load_native_ema
+
+    ema = load_native_ema(npzs[-1])
+    assert ema is not None and "fine" in ema
+
+    # resume restores the sidecar (no crash, shadow keeps evolving)
+    args2 = config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "32"])
+    run(args2)
+
+    # EMA render differs from the raw-params render of the same weights
+    base = ["--config", cfg_path, "--render_only", "--render_test",
+            "--chunk", "256"]
+    args_ema = config_parser().parse_args(base)
+    _, rgbs_ema = render_only(args_ema, return_rgbs=True)
+    args_raw = config_parser().parse_args(base + ["--ema_decay", "0"])
+    _, rgbs_raw = render_only(args_raw, return_rgbs=True)
+    assert np.isfinite(rgbs_ema).all()
+    assert np.abs(rgbs_ema - rgbs_raw).max() > 1e-5
+
+
+def test_e2e_ema_excludes_occ_trainer(tmp_path):
+    """--ema_decay with --train_occ must refuse loudly (the occ trainer
+    does not maintain the shadow)."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(root, datadir, logdir, ema_decay=0.9,
+                             train_occ=True)
+    args = config_parser().parse_args(["--config", cfg_path])
+    with pytest.raises(SystemExit):
+        run(args)

@@ -331,3 +331,41 @@ def test_sync_coarse_from_fine_copies_params_and_moments():
     for a, b in zip(jax.tree.leaves(st.params["fine"]),
                     jax.tree.leaves(st2.params["fine"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_shadow_follows_closed_form():
+    """--ema_decay: after one fused step the shadow must equal
+    d*shadow_old + (1-d)*params_new exactly, and after many steps it lags
+    the raw params (it is an average, not an alias)."""
+    H = W = 8
+    images = jnp.full((2, H, W, 3), 0.6, jnp.float32)
+    poses = jnp.asarray(np.stack([np.eye(3, 4, dtype=np.float32)] * 2))
+    state, rcfg, ccfg, fcfg = _tiny_setup()
+    d = 0.9
+    shadow = {k: jax.tree_util.tree_map(jnp.copy, state.params[k])
+              for k in ("coarse", "fine")}
+    state = state.replace(aux_state={"ema": shadow})
+    spec = PixelSamplerSpec(H=H, W=W, fx=5.0, fy=5.0, cx=4.0, cy=4.0,
+                            N_rand=32, single_image=True)
+    step = make_fused_train_step(rcfg, ccfg, fcfg, spec, donate=False,
+                                 ema_decay=d)
+    key = jax.random.PRNGKey(0)
+    st1, _ = step(state, images, poses, key)
+    want = jax.tree_util.tree_map(
+        lambda e, p: d * e + (1.0 - d) * p,
+        state.aux_state["ema"],
+        {k: st1.params[k] for k in ("coarse", "fine")})
+    for a, b in zip(jax.tree.leaves(want),
+                    jax.tree.leaves(st1.aux_state["ema"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # many steps: shadow is finite and distinct from the raw params
+    st = st1
+    for i in range(10):
+        st, _ = step(st, images, poses, jax.random.fold_in(key, i + 1))
+    diffs = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree.leaves(st.aux_state["ema"]),
+                             jax.tree.leaves(
+                                 {k: st.params[k] for k in ("coarse",
+                                                            "fine")}))]
+    assert all(np.isfinite(x) for x in diffs)
+    assert max(diffs) > 0.0
