@@ -486,7 +486,7 @@ def train(args):
         def _mk_occ_hook(ccfg_h, fcfg_h):
             _sh_fn = make_sharded_render_froxel(
                 mesh, eval_rcfg, fcfg_h, H, W, tile=args.occ_tile,
-                n_keep=args.occ_keep,
+                n_keep=args.occ_keep, n_fine=args.occ_fine,
             )
             _dense_sh2 = None
             if occ_until > 0:
@@ -710,6 +710,7 @@ def train(args):
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
                 occ_select=_grid_select(args),
+                occ_fine=args.occ_fine,
                 render_fn=(sharded_hook(est, last)
                            if sharded_hook else None),
             )
@@ -734,7 +735,7 @@ def train(args):
                     chunk=args.chunk,
                     n_candidates=args.occ_candidates, n_keep=args.occ_keep,
                     mode=args.occ_mode, tile=args.occ_tile,
-                    select=_grid_select(args),
+                    select=_grid_select(args), n_fine=args.occ_fine,
                 )
             else:
                 rgb, _, _, _ = renderer.render_from_pose(
@@ -778,6 +779,7 @@ def train(args):
                 occ_mode=args.occ_mode,
                 occ_tile=args.occ_tile,
                 occ_select=_grid_select(args),
+                occ_fine=args.occ_fine,
                 render_fn=(sharded_hook(est, last)
                            if sharded_hook else None),
             )
@@ -921,6 +923,7 @@ def render_only(args, return_rgbs: bool = False, ds=None):
                 mesh, eval_rcfg, fcfg, H, W,
                 tile=getattr(args, "occ_tile", 8),
                 n_keep=getattr(args, "occ_keep", 64),
+                n_fine=getattr(args, "occ_fine", 0),
             )
 
             def render_fn(c2w, k):
@@ -961,6 +964,7 @@ def render_only(args, return_rgbs: bool = False, ds=None):
         occ_keep=getattr(args, "occ_keep", 64),
         occ_mode=getattr(args, "occ_mode", "froxel"),
         occ_tile=getattr(args, "occ_tile", 8),
+        occ_fine=getattr(args, "occ_fine", 0),
         render_fn=render_fn,
         save_depth=getattr(args, "render_depth", False),
     )

@@ -401,6 +401,16 @@ def config_parser() -> ConfigArgumentParser:
                              "clutter. Applies to --occ_mode grid; the "
                              'froxel path weights automatically when the '
                              'grid carries density')
+    parser.add_argument("--occ_fine", type=int, default=0,
+                        help='hierarchical refinement on the gated render '
+                             'paths: >0 draws this many extra depths per '
+                             'ray by inverse-CDF from the gated coarse '
+                             "pass's compositing weights and re-evaluates "
+                             'the merged set (reference fine-pass '
+                             'semantics) — dense-like surface resolution '
+                             'on high-frequency scenes at a fraction of '
+                             'the dense MLP bill; applies to both '
+                             '--occ_mode froxel and grid')
     parser.add_argument("--occ_tile", type=int, default=8,
                         help='froxel pixel-tile size: rays in a tile share '
                              'one frustum-voxel column and one top-K bin '

@@ -137,6 +137,7 @@ def make_sharded_render_occ(
     n_candidates: int = 128,
     n_keep: int = 64,
     select: str = "sort",
+    n_fine: int = 0,
 ):
     """Occupancy-grid render sharded over the 'data' mesh axis: the grid and
     network replicate, rays split, pixels all-gather. The top-K selection is
@@ -168,7 +169,7 @@ def make_sharded_render_occ(
             rb, k = args
             return _render_occ_block(
                 params_fine, occ, rb, k, rcfg, fcfg, n_candidates, n_keep,
-                select,
+                select, n_fine,
             )
 
         out = jax.lax.map(one, (blocks, keys))

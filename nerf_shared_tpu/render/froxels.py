@@ -306,10 +306,14 @@ def _selection_maps(fro: FroxelGrid, rcfg: RenderConfig, H: int, W: int,
 
 
 def _render_ray_block(params_fine, rcfg: RenderConfig, fcfg: NeRFConfig,
-                      ro, rd, vd, lo, hi, va, key):
+                      ro, rd, vd, lo, hi, va, key, n_fine: int = 0):
     """Evaluate + composite one block of rays at their selected bins —
-    the shared body of the single-chip and shard_map froxel paths."""
-    k_strat, k_noise = jax.random.split(key)
+    the shared body of the single-chip and shard_map froxel paths.
+    ``n_fine > 0`` adds the hierarchical refinement pass seeded by the
+    bin-gated coarse weights (occupancy.refine_hierarchical)."""
+    from nerf_shared_tpu.render.occupancy import refine_hierarchical
+
+    k_strat, k_noise, k_fine = jax.random.split(key, 3)
     if rcfg.perturb > 0.0:
         u = jax.random.uniform(k_strat, lo.shape)
     else:
@@ -319,7 +323,12 @@ def _render_ray_block(params_fine, rcfg: RenderConfig, fcfg: NeRFConfig,
     raw = _apply_model_rays(params_fine, fcfg, ro, rd, z, vd, rcfg)
     sigma = jnp.where(va, raw[..., 3], -1e10)
     raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
-    rgb, disp, acc, _, _ = _composite(raw, z, rd, rcfg, k_noise, None)
+    rgb, disp, acc, weights, _ = _composite(raw, z, rd, rcfg, k_noise, None)
+    if n_fine > 0:
+        rgb, disp, acc = refine_hierarchical(
+            params_fine, fcfg, rcfg, ro, rd, vd, z, va, weights, n_fine,
+            k_fine,
+        )
     return {
         "rgb_map": rgb, "disp_map": disp, "acc_map": acc,
         "n_active": jnp.sum(va, axis=-1),
@@ -327,7 +336,7 @@ def _render_ray_block(params_fine, rcfg: RenderConfig, fcfg: NeRFConfig,
 
 
 def _map_ray_blocks(params_fine, rcfg, fcfg, parts, viewdirs_present, key,
-                    block: int):
+                    block: int, n_fine: int = 0):
     """lax.map _render_ray_block over blocks of flat rays (pad to a
     multiple of ``block``, crop after). ``parts`` = [ro, rd, lo, hi, va(,
     vd)] flat [n, ...] tensors."""
@@ -352,7 +361,7 @@ def _map_ray_blocks(params_fine, rcfg, fcfg, parts, viewdirs_present, key,
             (ro, rd, lo, hi, va), k = args[:-1], args[-1]
             vd = None
         return _render_ray_block(params_fine, rcfg, fcfg, ro, rd, vd,
-                                 lo, hi, va, k)
+                                 lo, hi, va, k, n_fine)
 
     out = jax.lax.map(one, tuple(blocked) + (keys,))
     return {k: v.reshape((-1,) + v.shape[2:])[:n] for k, v in out.items()}
@@ -360,7 +369,8 @@ def _map_ray_blocks(params_fine, rcfg, fcfg, parts, viewdirs_present, key,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rcfg", "fcfg", "H", "W", "tile", "n_keep", "block"),
+    static_argnames=("rcfg", "fcfg", "H", "W", "tile", "n_keep", "block",
+                     "n_fine"),
 )
 def _froxel_render_blocks(
     params_fine,
@@ -375,6 +385,7 @@ def _froxel_render_blocks(
     tile: int,
     n_keep: int,
     block: int,
+    n_fine: int = 0,
 ):
     rays_o, rays_d, viewdirs = _ray_inputs(rcfg, H, W, K, c2w)
     z_lo, z_hi, valid = _selection_maps(fro, rcfg, H, W, tile, n_keep)
@@ -382,7 +393,7 @@ def _froxel_render_blocks(
     if viewdirs is not None:
         parts.append(viewdirs)
     out = _map_ray_blocks(params_fine, rcfg, fcfg, parts,
-                          viewdirs is not None, key, block)
+                          viewdirs is not None, key, block, n_fine)
     return {k: v.reshape((H, W) + v.shape[1:]) for k, v in out.items()}
 
 
@@ -417,11 +428,13 @@ def _tile_major_prelude(fro: FroxelGrid, rcfg: RenderConfig, H: int, W: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("rcfg", "fcfg", "H", "W", "tile", "n_keep", "block"),
+    static_argnames=("rcfg", "fcfg", "H", "W", "tile", "n_keep", "block",
+                     "n_fine"),
 )
 def _render_tiles_scatter(
     params_fine, parts, idx, rcfg, fcfg,
     H: int, W: int, tile: int, n_keep: int, block: int, key,
+    n_fine: int = 0,
 ):
     """Render the tiles ``idx`` selects (already activity-first, padded to a
     static count) and scatter their pixels into full [H, W] maps whose
@@ -429,7 +442,7 @@ def _render_tiles_scatter(
     t2 = tile * tile
     sel_parts = [p[idx].reshape((-1,) + p.shape[2:]) for p in parts]
     out = _map_ray_blocks(params_fine, rcfg, fcfg, sel_parts,
-                          len(parts) == 6, key, block)
+                          len(parts) == 6, key, block, n_fine)
     T = parts[0].shape[0]
     Ht = -(-H // tile)
     Wt = -(-W // tile)
@@ -473,11 +486,14 @@ def render_image_froxels(
     chunk: int = 1024 * 64,
     froxels: Optional[FroxelGrid] = None,
     skip_empty: bool = True,
+    n_fine: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Render one pose with froxel-gated sampling: build (or reuse) the
     frame's FroxelGrid, select the K nearest occupied depth bins per pixel
     tile, and evaluate the network only at one stratified sample inside each
     selected bin. Returns [H, W, ...] maps (rgb/disp/acc/n_active).
+    ``n_fine > 0`` adds a hierarchical sample_pdf refinement pass on top of
+    the bin-gated coarse samples (occupancy.refine_hierarchical).
 
     ``skip_empty`` (default) additionally skips whole tiles with zero
     occupied bins — their rays are all-padding and composite to the exact
@@ -508,7 +524,7 @@ def render_image_froxels(
         block = min(chunk, H * W)
         return _froxel_render_blocks(
             pf, froxels, rcfg, fcfg, H, W, K_d, c2w_d, key, tile, n_keep,
-            block,
+            block, n_fine,
         )
 
     parts, active = _tile_major_prelude(
@@ -535,7 +551,7 @@ def render_image_froxels(
     idx = jnp.asarray(order[:n_pad].copy())
     block = min(chunk, n_pad * tile * tile)
     return _render_tiles_scatter(
-        pf, parts, idx, rcfg, fcfg, H, W, tile, n_keep, block, key,
+        pf, parts, idx, rcfg, fcfg, H, W, tile, n_keep, block, key, n_fine,
     )
 
 
@@ -548,6 +564,7 @@ def make_sharded_render_froxel(
     tile: int = 8,
     n_keep: int = 16,
     block: int = 16384,
+    n_fine: int = 0,
 ):
     """Froxel render sharded over the mesh's 'data' axis: the FroxelGrid and
     params replicate, the flat rays + their tile-selected bins split, and the
@@ -572,7 +589,7 @@ def make_sharded_render_froxel(
             parts.append(vd)
         blk = min(block, parts[0].shape[0])
         return _map_ray_blocks(params_fine, rcfg, fcfg, parts,
-                               vd is not None, key, blk)
+                               vd is not None, key, blk, n_fine)
 
     fn = jax.shard_map(
         per_device,

@@ -406,6 +406,49 @@ def _topk_weighted_occupied(z_cand, sig_c, occ_c, n_keep, far):
     return jnp.where(valid, z_sel, far), valid
 
 
+def refine_hierarchical(params, fcfg, rcfg, rays_o, rays_d, viewdirs,
+                        z_sel, valid, weights, n_fine, key):
+    """Hierarchical refinement of a gated coarse pass: draw ``n_fine`` new
+    depths by inverse-CDF from the coarse compositing weights, merge with
+    the coarse depths, and re-evaluate the model at the UNION — the
+    reference's fine-pass semantics exactly (render_utils.py:137-155
+    evaluates the merged set afresh), with the grid-gated K samples playing
+    the dense coarse pass's role. The grid concentrates the coarse budget in
+    occupied space; the pdf pass concentrates ``n_fine`` more where the
+    coarse pass actually found mass — recovering the surface-resolution the
+    single-pass gated render loses on thin structures (measured -15 dB on
+    1-2 px rods at fast presets, BASELINE.md).
+
+    Anchor property (tested): with an all-occupied grid, K = C = N_samples
+    and perturb = 0 this IS the dense hierarchical render of
+    render/renderer.py — identical z placement, weights, pdf draw, merged
+    re-eval, composite.
+
+    Padding semantics: the coarse pass pads short rays at z = far; those
+    depths re-enter the merged evaluation UNMASKED (a real sample at far is
+    exactly what the dense path evaluates there, and post-surface
+    transmittance zeroes its contribution). The one exception is rays with
+    ZERO occupied candidates — their whole merged set collapses to far, so
+    they keep the gated path's background contract via a full sigma mask.
+    """
+    from nerf_shared_tpu.ops.sampling import sample_pdf
+
+    k_u, k_noise = jax.random.split(key)
+    z_mid = 0.5 * (z_sel[..., 1:] + z_sel[..., :-1])
+    z_samples = sample_pdf(z_mid, weights[..., 1:-1], n_fine, key=k_u,
+                           det=(rcfg.perturb == 0.0))
+    z_samples = jax.lax.stop_gradient(z_samples)
+    z_all = jnp.sort(jnp.concatenate([z_sel, z_samples], axis=-1), axis=-1)
+    raw = _apply_model_rays(params, fcfg, rays_o, rays_d, z_all, viewdirs,
+                            rcfg)
+    empty_ray = jnp.sum(valid.astype(jnp.int32), axis=-1, keepdims=True) == 0
+    sigma = jnp.where(empty_ray, -1e10, raw[..., 3])
+    raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
+    rgb, disp, acc, _, _ = _composite(raw, z_all, rays_d, rcfg, k_noise,
+                                      None)
+    return rgb, disp, acc
+
+
 def _render_occ_block(
     params_fine,
     occ: OccupancyGrid,
@@ -416,13 +459,16 @@ def _render_occ_block(
     n_candidates: int,
     n_keep: int,
     select: str,
+    n_fine: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Candidate triage + top-K selection + masked render of one ray block
-    — the shared body of the single-chip and shard_map render paths."""
+    — the shared body of the single-chip and shard_map render paths.
+    ``n_fine > 0`` adds a hierarchical refinement pass seeded by the gated
+    coarse weights (see refine_hierarchical)."""
     rays_o, rays_d = rb[:, 0:3], rb[:, 3:6]
     viewdirs = rb[:, -3:] if rb.shape[-1] > 8 else None
     near, far = rb[:, 6:7], rb[:, 7:8]
-    k_strat, k_noise = jax.random.split(key)
+    k_strat, k_noise, k_fine = jax.random.split(key, 3)
 
     z_cand = sample_along_rays(
         k_strat, near, far, n_candidates,
@@ -448,9 +494,14 @@ def _render_occ_block(
                             viewdirs, rcfg)
     sigma = jnp.where(valid, raw[..., 3], -1e10)
     raw = jnp.concatenate([raw[..., :3], sigma[..., None]], axis=-1)
-    rgb, disp, acc, _, _ = _composite(
+    rgb, disp, acc, weights, _ = _composite(
         raw, z_sel, rays_d, rcfg, k_noise, None
     )
+    if n_fine > 0:
+        rgb, disp, acc = refine_hierarchical(
+            params_fine, fcfg, rcfg, rays_o, rays_d, viewdirs,
+            z_sel, valid, weights, n_fine, k_fine,
+        )
     return {
         "rgb_map": rgb, "disp_map": disp, "acc_map": acc,
         "n_active": jnp.sum(valid, axis=-1),
@@ -460,7 +511,7 @@ def _render_occ_block(
 @functools.partial(
     jax.jit,
     static_argnames=("rcfg", "fcfg", "n_candidates", "n_keep", "block",
-                     "select"),
+                     "select", "n_fine"),
 )
 def _occ_render_blocks(
     params_fine,
@@ -473,12 +524,13 @@ def _occ_render_blocks(
     n_keep: int,
     block: int,
     select: str = "sort",
+    n_fine: int = 0,
 ):
     def one(args):
         rb, key = args
         return _render_occ_block(
             params_fine, occ, rb, key, rcfg, fcfg, n_candidates, n_keep,
-            select,
+            select, n_fine,
         )
 
     out = jax.lax.map(one, (rays, keys))
@@ -523,14 +575,21 @@ def render_flat_rays_occ(
     gate_rays: bool = False,
     occ_coarse: Optional[OccupancyGrid] = None,
     count_candidates: int = 64,
+    n_fine: int = 0,
 ) -> Dict[str, jnp.ndarray]:
     """Occupancy-gated render of a flat ray batch: C candidate depths per
     ray are triaged by the grid and only the K nearest occupied ones reach
     the network. Exact when the grid is exact (empty cells truly have zero
     density) and every ray has <= K occupied candidates; conservative grids
     from ``build_occupancy_grid`` make the first condition hold up to the
-    build threshold. Single-level: the hierarchy's job (concentrating
-    samples near surfaces) is done by the grid instead.
+    build threshold. Single-level by default: the hierarchy's job
+    (concentrating samples near surfaces) is done by the grid instead.
+    ``n_fine > 0`` restores the hierarchy ON TOP of the gate: a sample_pdf
+    fine pass seeded by the gated coarse weights, merged re-eval
+    (refine_hierarchical) — K + (K + n_fine) MLP evals per ray vs the
+    dense path's N_samples + (N_samples + N_importance), recovering
+    dense-like surface resolution on high-frequency content the
+    single-pass presets under-resolve.
 
     ``gate_rays=True`` additionally skips the network for rays with ZERO
     occupied candidates (the majority in object scenes): a lookup-only
@@ -563,7 +622,7 @@ def render_flat_rays_occ(
         keys = jax.random.split(key, rays_b.shape[0])
         ret = _occ_render_blocks(
             pf, occ, rays_b, keys, rcfg, fcfg, n_candidates, n_keep, block,
-            select,
+            select, n_fine,
         )
         return {k: v[:n] for k, v in ret.items()}
 
@@ -605,7 +664,7 @@ def render_flat_rays_occ(
     keys = jax.random.split(key, rays_a.shape[0])
     ret = _occ_render_blocks(
         pf, occ, rays_a, keys, rcfg, fcfg, n_candidates, n_keep,
-        fine_block, select,
+        fine_block, select, n_fine,
     )
     scatter = order[:n_active]
     for k in ("rgb_map", "disp_map", "acc_map", "n_active"):

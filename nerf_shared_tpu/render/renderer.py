@@ -604,9 +604,14 @@ class Renderer:
         chunk: int = 1024 * 32, key: Optional[jax.Array] = None,
         n_candidates: int = 128, n_keep: int = 64, select: str = "sort",
         gate_rays: bool = False, mode: str = "froxel", tile: int = 8,
+        n_fine: int = 0,
     ):
         """Full-image render through an occupancy grid: only the n_keep
         nearest grid-occupied candidate depths per ray reach the network.
+        ``n_fine > 0`` adds a hierarchical sample_pdf refinement pass on
+        top of the gated coarse samples in either mode
+        (occupancy.refine_hierarchical) — dense-like surface resolution at
+        a fraction of the dense MLP bill.
 
         ``mode``:
         - 'froxel' (default): camera-froxel triage (render/froxels.py) —
@@ -634,7 +639,7 @@ class Renderer:
             out = render_image_froxels(
                 (pf, fcfg), occ_grid, self.cfg, H, W, K, jnp.asarray(c2w),
                 key=key, n_depth=n_candidates, n_keep=n_keep, tile=tile,
-                chunk=chunk,
+                chunk=chunk, n_fine=n_fine,
             )
             return out["rgb_map"], out
         from nerf_shared_tpu.render.occupancy import render_flat_rays_occ
@@ -643,7 +648,7 @@ class Renderer:
         ret = render_flat_rays_occ(
             rays_flat, (pf, fcfg), occ_grid, self.cfg, fcfg, chunk=chunk,
             key=key, n_candidates=n_candidates, n_keep=n_keep,
-            select=select, gate_rays=gate_rays,
+            select=select, gate_rays=gate_rays, n_fine=n_fine,
         )
         out = {k: jnp.reshape(v, list(sh[:-1]) + list(v.shape[1:]))
                for k, v in ret.items() if v.ndim > 0}
@@ -671,6 +676,7 @@ class Renderer:
         occ_mode: str = "froxel",
         occ_tile: int = 8,
         occ_select: str = "sort",
+        occ_fine: int = 0,
         render_fn=None,
         save_depth: bool = False,
     ):
@@ -715,6 +721,7 @@ class Renderer:
                     occ_grid, chunk=chunk, key=key,
                     n_candidates=occ_candidates, n_keep=occ_keep,
                     mode=occ_mode, tile=occ_tile, select=occ_select,
+                    n_fine=occ_fine,
                 )
                 disp = out.get("disp_map")
             elif gate_threshold > 0.0:

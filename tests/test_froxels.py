@@ -430,3 +430,87 @@ def test_weighted_render_matches_dense_when_k_covers():
                                              model, retraw=False)
     np.testing.assert_allclose(np.asarray(ret["rgb_map"]), np.asarray(rgb),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_froxel_fine_all_occupied_equals_dense_hierarchical():
+    """n_fine anchor on the froxel path: full grid + K == C + perturb=0
+    makes the bin-gated coarse pass the dense coarse pass (z0 linspace
+    depths), so sample_pdf refinement + merged re-eval must equal the dense
+    hierarchical render (N_importance == n_fine)."""
+    model, cfg = _model()
+    rcfg = _rcfg()
+    H = W = 16
+    K, c2w = _cam(H, W)
+    out = F.render_image_froxels(
+        model, _full_grid(), rcfg, H, W, K, c2w, n_depth=12, n_keep=12,
+        tile=4, dilate=0, n_fine=8,
+    )
+    renderer = Renderer(**{
+        "N_samples": 12, "N_importance": 8, "near": 2.0, "far": 6.0,
+        "perturb": 0.0, "white_bkgd": True,
+    })
+    rays_flat, _ = renderer._pack_rays(H, W, K, None, c2w, None)
+    dense = render_rays(
+        model.params, None, rays_flat, jax.random.PRNGKey(0),
+        _rcfg(N_samples=12, N_importance=8), cfg, None,
+    )
+    assert (np.asarray(out["n_active"]) == 12).all()
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(out[k]).reshape(np.asarray(dense[k]).shape),
+            np.asarray(dense[k]), rtol=1e-5, atol=1e-5, err_msg=k,
+        )
+
+
+def test_froxel_fine_skip_empty_is_exact():
+    """Empty-tile skipping composes with the refinement pass: identical
+    image with and without skip_empty at n_fine > 0 (skipped tiles are
+    all-padding and the refinement keeps their background contract)."""
+    model, cfg = _model()
+    rcfg = _rcfg()
+    H = W = 16
+    K, c2w = _cam(H, W)
+    rng = np.random.default_rng(5)
+    grid = jnp.asarray(rng.random((8, 8, 8)) < 0.2)
+    occ = OccupancyGrid(grid, jnp.array([-1.5, -1.5, -1.5]),
+                        jnp.array([1.5, 1.5, 1.5]))
+    a = F.render_image_froxels(model, occ, rcfg, H, W, K, c2w, n_depth=16,
+                               n_keep=8, tile=4, n_fine=8, skip_empty=False)
+    b = F.render_image_froxels(model, occ, rcfg, H, W, K, c2w, n_depth=16,
+                               n_keep=8, tile=4, n_fine=8, skip_empty=True)
+    for k in ("rgb_map", "disp_map", "acc_map", "n_active"):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-6, atol=1e-6, err_msg=k)
+
+
+def test_sharded_froxel_fine_matches_single_device():
+    """The refinement pass shards: make_sharded_render_froxel(n_fine=8)
+    reproduces the single-device refined image on the 8-device mesh."""
+    from nerf_shared_tpu.parallel.mesh import make_mesh
+    from nerf_shared_tpu.render.froxels import (
+        build_froxels,
+        make_sharded_render_froxel,
+    )
+
+    model, cfg = _model()
+    H = W = 16
+    K, c2w = _cam(H, W)
+    rng = np.random.default_rng(5)
+    grid = jnp.asarray(rng.random((8, 8, 8)) < 0.3)
+    occ = OccupancyGrid(grid, jnp.array([-1.5, -1.5, -1.5]),
+                        jnp.array([1.5, 1.5, 1.5]))
+    rcfg = _rcfg()
+    fro = build_froxels(occ, H, W, K, c2w, 2.0, 6.0, n_depth=16, tile=4)
+    single = F.render_image_froxels(
+        model, occ, rcfg, H, W, K, c2w, n_depth=16, n_keep=8, tile=4,
+        froxels=fro, n_fine=8,
+    )
+    mesh = make_mesh()
+    fn = make_sharded_render_froxel(mesh, rcfg, cfg, H, W, tile=4, n_keep=8,
+                                    block=32, n_fine=8)
+    sharded = fn(model.params, fro, K, c2w, jax.random.PRNGKey(0))
+    for k in ("rgb_map", "acc_map", "n_active"):
+        np.testing.assert_allclose(
+            np.asarray(single[k]), np.asarray(sharded[k]),
+            rtol=1e-5, atol=1e-5, err_msg=k,
+        )

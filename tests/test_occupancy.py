@@ -423,3 +423,98 @@ def test_ndc_aabb_covers_full_ndc_sample_range():
     tcfg, _ = nerf_configs(args)
     assert (pts >= np.asarray(tcfg.aabb_min)).all()
     assert (pts <= np.asarray(tcfg.aabb_max)).all()
+
+
+def test_occ_fine_all_occupied_equals_dense_hierarchical():
+    """The n_fine anchor: with every cell occupied, K == C == N_samples and
+    perturb == 0, the gated coarse pass IS the dense coarse pass, so the
+    sample_pdf refinement + merged re-eval must reproduce the dense
+    hierarchical render (render_rays with N_importance == n_fine) exactly —
+    same z placement, same weights, same deterministic pdf draw, same
+    merged evaluation, same composite."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(20)
+    full = O.OccupancyGrid(jnp.ones((4, 4, 4), bool),
+                           jnp.array([-99.0, -99, -99]),
+                           jnp.array([99.0, 99, 99]))
+    fast = O.render_flat_rays_occ(rb, model, full, rcfg, ccfg, chunk=8,
+                                  n_candidates=12, n_keep=12, n_fine=8)
+    dense = render_rays(
+        model.params, None, rb, jax.random.PRNGKey(0),
+        _rcfg(N_samples=12, N_importance=8), ccfg, None,
+    )
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(fast[k]), np.asarray(dense[k]), rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
+
+
+def test_occ_fine_empty_grid_renders_background():
+    """Rays with zero occupied candidates keep the gated background contract
+    under refinement (their merged set collapses to far and is fully
+    masked — refine_hierarchical's empty-ray guard)."""
+    model, ccfg = _model()
+    rb = _rays(10)
+    empty = O.OccupancyGrid(jnp.zeros((4, 4, 4), bool),
+                            jnp.array([-99.0, -99, -99]),
+                            jnp.array([99.0, 99, 99]))
+    out = O.render_flat_rays_occ(rb, model, empty, _rcfg(), ccfg, chunk=8,
+                                 n_candidates=12, n_keep=8, n_fine=6)
+    assert (np.asarray(out["n_active"]) == 0).all()
+    np.testing.assert_allclose(np.asarray(out["rgb_map"]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["acc_map"]), 0.0)
+
+
+def test_occ_fine_gate_matches_ungated():
+    """gate_rays compaction and the refinement pass compose: gated+fine
+    equals ungated+fine on active rays, background on the rest."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(64, seed=9, origin_scale=2.0)
+    grid = np.zeros((9, 9, 9), bool)
+    grid[3:6, 3:6, 3:6] = True
+    occ = O.OccupancyGrid(jnp.asarray(grid),
+                          jnp.array([-9.0, -9, -9]), jnp.array([9.0, 9, 9]))
+    plain = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                   n_candidates=24, n_keep=12, n_fine=8)
+    gated = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                   n_candidates=24, n_keep=12, n_fine=8,
+                                   gate_rays=True)
+    active = np.asarray(plain["n_active"]) > 0
+    assert active.any() and not active.all()
+    for k in ("rgb_map", "disp_map", "acc_map"):
+        np.testing.assert_allclose(
+            np.asarray(gated[k])[active], np.asarray(plain[k])[active],
+            rtol=1e-6, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(np.asarray(gated["rgb_map"])[~active], 1.0)
+    np.testing.assert_allclose(np.asarray(plain["acc_map"])[~active], 0.0,
+                               atol=1e-7)
+
+
+def test_occ_fine_concentrates_samples_at_surface():
+    """On a partially-occupied grid the refinement must place its new
+    depths inside the weight-bearing region the coarse pass found: the
+    refined render differs from the single-pass one on surface rays (it
+    evaluated 2K + F points there) while empty rays stay background."""
+    model, ccfg = _model()
+    rcfg = _rcfg()
+    rb = _rays(64, seed=9, origin_scale=2.0)
+    grid = np.zeros((9, 9, 9), bool)
+    grid[3:6, 3:6, 3:6] = True
+    occ = O.OccupancyGrid(jnp.asarray(grid),
+                          jnp.array([-9.0, -9, -9]), jnp.array([9.0, 9, 9]))
+    base = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                  n_candidates=24, n_keep=6)
+    fine = O.render_flat_rays_occ(rb, model, occ, rcfg, ccfg, chunk=16,
+                                  n_candidates=24, n_keep=6, n_fine=12)
+    active = np.asarray(base["n_active"]) > 0
+    assert active.any()
+    # refined and single-pass must agree on which rays hit anything at all
+    np.testing.assert_array_equal(np.asarray(fine["n_active"]),
+                                  np.asarray(base["n_active"]))
+    # background rays identical, surface rays actually refined
+    np.testing.assert_allclose(np.asarray(fine["rgb_map"])[~active], 1.0)
+    assert np.abs(np.asarray(fine["rgb_map"])[active]
+                  - np.asarray(base["rgb_map"])[active]).max() > 0
