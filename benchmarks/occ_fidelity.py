@@ -74,7 +74,18 @@ def main():
                          "the 8x256 MLP) is unavailable")
     ap.add_argument("--log", type=str, default=None,
                     help="append result JSON lines to this file")
+    ap.add_argument("--fine", type=str, default="0",
+                    help="comma list of n_fine values (hierarchical "
+                         "refinement on the gated paths, --occ_fine): "
+                         "when any value > 0 the sweep switches to a "
+                         "focused preset set crossed with each n_fine")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke/insurance runs while "
+                         "the TPU is busy or the tunnel is down)")
     a = ap.parse_args()
+    fines = [int(x) for x in a.fine.split(",") if x != ""]
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     log_f = open(a.log, "a") if a.log else None
 
@@ -171,35 +182,55 @@ def main():
 
     rays_flat, _ = renderer._pack_rays(Rs, Rs, Kr, None, c2w, None)
     results = {}
-    for C, Kp, sel in ((128, 64, "sort"), (128, 32, "sort"),
+    fine_sweep = any(nf > 0 for nf in fines)
+    if fine_sweep:
+        # focused preset set crossed with each n_fine: the question is
+        # whether the sample_pdf refinement pass recovers the fidelity the
+        # fast presets lose on high-frequency content (BASELINE.md hard
+        # rows), and what it costs vs just raising K
+        occ_presets = [(C, Kp, "sort") for C, Kp in
+                       ((64, 16), (128, 32), (128, 64))]
+        fro_presets = [(64, 16, False), (64, 32, False)]
+    else:
+        occ_presets = [(128, 64, "sort"), (128, 32, "sort"),
                        (64, 16, "sort"), (64, 16, "weighted"),
-                       (128, 32, "weighted"), (64, 32, "weighted")):
-        (ret), t = timed(lambda C=C, Kp=Kp, s=sel: render_flat_rays_occ(
-            rays_flat, fine, occ, rcfg, cfg, chunk=32768,
-            n_candidates=C, n_keep=Kp, select=s, gate_rays=False))
-        p = psnr(ret["rgb_map"].reshape(Rs, Rs, 3), rgb_dense)
-        name = f"occ C={C} K={Kp}" + (" weighted" if sel == "weighted" else "")
-        results[name] = (p, t)
-        emit({"path": name,
-              "psnr_vs_dense_db": round(p, 2), "s_per_frame": round(t, 4)})
-
-    # sigma-carrying grids select bins by estimated contribution
-    # (froxels._select_bins_weighted); a bits-only view of the same grid
-    # gives the nearest-K control so the two policies are separable rows
-    occ_bits = occ._replace(sigma=None)
-    for C, Kp, corners in ((64, 8, False), (64, 16, False), (64, 16, True),
-                           (128, 8, False), (128, 16, False),
-                           (64, 32, False)):
-        for g, tag in ((occ, " weighted"), (occ_bits, "")):
-            (ret), t = timed(
-                lambda C=C, Kp=Kp, co=corners, g=g: render_image_froxels(
-                    fine, g, rcfg, Rs, Rs, Kr, c2w, n_depth=C, n_keep=Kp,
-                    corner_rays=co))
-            p = psnr(ret["rgb_map"], rgb_dense)
-            name = f"froxel C={C} K={Kp}{' corners' if corners else ''}{tag}"
+                       (128, 32, "weighted"), (64, 32, "weighted")]
+        fro_presets = [(64, 8, False), (64, 16, False), (64, 16, True),
+                       (128, 8, False), (128, 16, False), (64, 32, False)]
+    for nf in fines:
+        sfx = f" fine={nf}" if nf else ""
+        for C, Kp, sel in occ_presets:
+            (ret), t = timed(lambda C=C, Kp=Kp, s=sel, nf=nf:
+                             render_flat_rays_occ(
+                rays_flat, fine, occ, rcfg, cfg, chunk=32768,
+                n_candidates=C, n_keep=Kp, select=s, gate_rays=False,
+                n_fine=nf))
+            p = psnr(ret["rgb_map"].reshape(Rs, Rs, 3), rgb_dense)
+            name = (f"occ C={C} K={Kp}"
+                    + (" weighted" if sel == "weighted" else "") + sfx)
             results[name] = (p, t)
-            emit({"path": name, "psnr_vs_dense_db": round(p, 2),
-                  "s_per_frame": round(t, 4), "model": a.model})
+            emit({"path": name,
+                  "psnr_vs_dense_db": round(p, 2), "s_per_frame": round(t, 4)})
+
+        # sigma-carrying grids select bins by estimated contribution
+        # (froxels._select_bins_weighted); a bits-only view of the same grid
+        # gives the nearest-K control so the two policies are separable rows
+        occ_bits = occ._replace(sigma=None)
+        fro_grids = ((occ_bits, ""),) if fine_sweep else (
+            (occ, " weighted"), (occ_bits, ""))
+        for C, Kp, corners in fro_presets:
+            for g, tag in fro_grids:
+                (ret), t = timed(
+                    lambda C=C, Kp=Kp, co=corners, g=g, nf=nf:
+                    render_image_froxels(
+                        fine, g, rcfg, Rs, Rs, Kr, c2w, n_depth=C, n_keep=Kp,
+                        corner_rays=co, n_fine=nf))
+                p = psnr(ret["rgb_map"], rgb_dense)
+                name = (f"froxel C={C} K={Kp}"
+                        f"{' corners' if corners else ''}{tag}{sfx}")
+                results[name] = (p, t)
+                emit({"path": name, "psnr_vs_dense_db": round(p, 2),
+                      "s_per_frame": round(t, 4), "model": a.model})
 
     best = {k: v for k, v in results.items() if v[0] >= 30.0}
     emit({
