@@ -852,13 +852,66 @@ def _resolve_triplane_aabb(args, ds, H, W):
     print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
 
 
-def render_only(args, return_rgbs: bool = False, ds=None):
-    """Reload newest weights and render render_poses (or the test set) to
-    PNGs + video, reference render_path semantics (utils.py:330-358, fixed).
-    Returns the output directory; with ``return_rgbs`` also the float
-    renders (the eval CLI computes metrics on these, not the saved 8-bit
-    PNGs). ``ds`` accepts a preloaded dataset so callers that need it too
-    (eval_cli) don't load the scene twice."""
+class EvalEngine:
+    """Everything needed to render novel views from a trained checkpoint:
+    dataset geometry, restored eval params (EMA/BARF-aware), the renderer,
+    the optional occupancy grid and the optional mesh-sharded pose renderer.
+    Built once and reused across poses — render_only consumes it for batch
+    export and apps/serve.py keeps one alive behind an HTTP surface."""
+
+    def __init__(self, ds, H, W, K, renderer, state, ccfg, fcfg, coarse,
+                 fine, occ_grid, render_fn, start, args):
+        self.ds = ds
+        self.H, self.W, self.K = H, W, K
+        self.renderer = renderer
+        self.state = state
+        self.ccfg, self.fcfg = ccfg, fcfg
+        self.coarse, self.fine = coarse, fine
+        self.occ_grid = occ_grid
+        self.render_fn = render_fn
+        self.start = start
+        self.args = args
+
+    def render_poses(self, poses, save_directory=None,
+                     b_combine_as_video=False, key=None, tb_writer=None):
+        """Render a [N, 3+, 4] pose batch through the engine's configured
+        path (sharded / occ-gated / ray-gated / dense hierarchical).
+        Returns float rgbs [N, H, W, 3]."""
+        a = self.args
+        return self.renderer.render_from_batch_poses(
+            self.H, self.W, self.K, a.chunk, poses, self.coarse, self.fine,
+            retraw=False, save_directory=save_directory,
+            b_combine_as_video=b_combine_as_video, tb_writer=tb_writer,
+            key=key,
+            gate_threshold=getattr(a, "render_gate", 0.0),
+            occ_grid=self.occ_grid,
+            occ_candidates=getattr(a, "occ_candidates", 128),
+            occ_keep=getattr(a, "occ_keep", 64),
+            occ_mode=getattr(a, "occ_mode", "froxel"),
+            occ_tile=getattr(a, "occ_tile", 8),
+            occ_fine=getattr(a, "occ_fine", 0),
+            render_fn=self.render_fn,
+            save_depth=getattr(a, "render_depth", False),
+        )
+
+    @property
+    def engine_name(self):
+        if self.render_fn is not None:
+            return "sharded-" + ("froxel" if self.occ_grid is not None
+                                 else "dense")
+        if self.occ_grid is not None:
+            return "occ-" + getattr(self.args, "occ_mode", "froxel")
+        if getattr(self.args, "render_gate", 0.0) > 0.0:
+            return "gated"
+        return "dense"
+
+
+def build_eval_engine(args, ds=None):
+    """Load the newest checkpoint and assemble the render engine exactly
+    the way render_only does (same triplane AABB, EMA/BARF eval state,
+    occupancy grid and multi-chip dispatch rules). ``ds`` accepts a
+    preloaded dataset so callers that need it too (eval_cli) don't load
+    the scene twice."""
     if ds is None:
         ds = load_datasets(args)
     H, W, focal = ds.hwf
@@ -890,11 +943,6 @@ def render_only(args, return_rgbs: bool = False, ds=None):
     state = _eval_state(state, args, ccfg, fcfg, start)
     coarse, fine = _models_from_state(state, ccfg, fcfg)
 
-    suffix = "test" if args.render_test else "path"
-    outdir = os.path.join(
-        args.basedir, args.expname, f"renderonly_{suffix}_{start:06d}"
-    )
-    poses = ds.render_poses[:, :3, :4] if ds.render_poses.ndim == 3 else ds.render_poses
     occ_grid = _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine)
 
     # multi-chip: render each pose through the mesh (rays split over 'data',
@@ -955,19 +1003,27 @@ def render_only(args, return_rgbs: bool = False, ds=None):
         # (grid-mode occupancy and ray-gated renders stay single-chip: their
         # host-sync compaction doesn't shard — froxel mode is the fast path)
 
-    rgbs = renderer.render_from_batch_poses(
-        H, W, K, args.chunk, poses, coarse, fine,
-        retraw=False, save_directory=outdir, b_combine_as_video=True,
-        gate_threshold=getattr(args, "render_gate", 0.0),
-        occ_grid=occ_grid,
-        occ_candidates=getattr(args, "occ_candidates", 128),
-        occ_keep=getattr(args, "occ_keep", 64),
-        occ_mode=getattr(args, "occ_mode", "froxel"),
-        occ_tile=getattr(args, "occ_tile", 8),
-        occ_fine=getattr(args, "occ_fine", 0),
-        render_fn=render_fn,
-        save_depth=getattr(args, "render_depth", False),
+    return EvalEngine(ds, H, W, K, renderer, state, ccfg, fcfg, coarse,
+                      fine, occ_grid, render_fn, start, args)
+
+
+def render_only(args, return_rgbs: bool = False, ds=None):
+    """Reload newest weights and render render_poses (or the test set) to
+    PNGs + video, reference render_path semantics (utils.py:330-358, fixed).
+    Returns the output directory; with ``return_rgbs`` also the float
+    renders (the eval CLI computes metrics on these, not the saved 8-bit
+    PNGs). ``ds`` accepts a preloaded dataset so callers that need it too
+    (eval_cli) don't load the scene twice."""
+    eng = build_eval_engine(args, ds=ds)
+    ds = eng.ds
+    suffix = "test" if args.render_test else "path"
+    outdir = os.path.join(
+        args.basedir, args.expname, f"renderonly_{suffix}_{eng.start:06d}"
     )
+    poses = (ds.render_poses[:, :3, :4] if ds.render_poses.ndim == 3
+             else ds.render_poses)
+    rgbs = eng.render_poses(poses, save_directory=outdir,
+                            b_combine_as_video=True)
     print(f"Done rendering {rgbs.shape[0]} views to {outdir}")
     if return_rgbs:
         return outdir, rgbs
