@@ -186,8 +186,8 @@ def train(args):
     if int(getattr(args, "barf_anneal", 0)) > 0:
         if getattr(args, "model_type", "nerf") != "nerf":
             raise SystemExit("--barf_anneal anneals the positional "
-                             "encoding — MLP family only (triplane has no "
-                             "frequency bands to anneal)")
+                             "encoding — MLP family only (grid families "
+                             "have no frequency bands to anneal)")
         if bool(getattr(args, "train_occ", False)):
             raise SystemExit("--barf_anneal targets the hierarchical/"
                              "proposal trainer (the occ trainer has its "
@@ -829,18 +829,19 @@ def _upsample_milestones(args, start):
 
 def _resolve_triplane_aabb(args, ds, H, W):
     """Fill args.triplane_aabb (when 0 = auto) the SAME way in every entry
-    point: triplane params are decoded against this box, so training and
-    render_only/resume must derive the identical value or the planes are
-    silently rescaled to the wrong world coordinates. NDC scenes live in
-    the [-1,1] cube; otherwise bound the camera frustums (deterministic in
-    the dataset's TRAIN poses)."""
-    if (getattr(args, "model_type", "nerf") != "triplane"
+    point: grid-family params (triplane planes / hashgrid tables) are
+    decoded against this box, so training and render_only/resume must
+    derive the identical value or the features are silently rescaled to
+    the wrong world coordinates. NDC scenes live in the [-1,1] cube;
+    otherwise bound the camera frustums (deterministic in the dataset's
+    TRAIN poses)."""
+    if (getattr(args, "model_type", "nerf") not in ("triplane", "hashgrid")
             or getattr(args, "triplane_aabb", 0.0)):
         return
     if args.dataset_type == "llff" and not args.no_ndc:
         # NDC: factory.nerf_configs picks the asymmetric NDC box itself
         # (deterministic from flags, so every entry point agrees)
-        print("triplane aabb half-extent: NDC cube")
+        print("grid aabb half-extent: NDC cube")
         return
     from nerf_shared_tpu.render.occupancy import aabb_from_poses
 
@@ -849,7 +850,7 @@ def _resolve_triplane_aabb(args, ds, H, W):
         float(ds.bds_dict["near"]), float(ds.bds_dict["far"]),
     )
     args.triplane_aabb = float(max(np.abs(lo).max(), np.abs(hi).max()))
-    print(f"triplane aabb half-extent: {args.triplane_aabb:.2f}")
+    print(f"grid aabb half-extent: {args.triplane_aabb:.2f}")
 
 
 class EvalEngine:

@@ -210,13 +210,16 @@ def config_parser() -> ConfigArgumentParser:
                         choices=['fp32', 'bf16'],
                         help='compute precision for the MLP matmuls')
     parser.add_argument("--model_type", type=str, default='nerf',
-                        choices=['nerf', 'triplane'],
+                        choices=['nerf', 'triplane', 'hashgrid'],
                         help="model family: 'nerf' = the reference 8x256 "
                              "MLP + positional encoding; 'triplane' = "
                              'grid-based radiance field (three bilinear '
                              'feature planes + tiny decoder, '
-                             'models/triplane.py) — 10-50x fewer steps to '
-                             'quality; trains via XLA (the Pallas MLP '
+                             'models/triplane.py); "hashgrid" = '
+                             'multiresolution hash encoding + tiny decoder '
+                             '(instant-NGP family, models/hashgrid.py). '
+                             'Grid families reach quality in 10-100x fewer '
+                             'steps and train via XLA (the Pallas MLP '
                              'kernels are nerf-family only)')
     parser.add_argument("--triplane_res", type=int, default=256,
                         help='triplane: feature-plane resolution G')
@@ -228,8 +231,23 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--triplane_depth", type=int, default=2,
                         help='triplane: rgb decoder layers')
     parser.add_argument("--triplane_aabb", type=float, default=0.0,
-                        help='triplane: scene half-extent (cube). 0 = auto '
-                             'from the camera frustums at load time')
+                        help='grid families (triplane AND hashgrid): scene '
+                             'half-extent (cube). 0 = auto from the camera '
+                             'frustums at load time')
+    parser.add_argument("--hash_levels", type=int, default=16,
+                        help='hashgrid: number of resolution levels L')
+    parser.add_argument("--hash_log2_size", type=int, default=19,
+                        help='hashgrid: log2 of the per-level table size T')
+    parser.add_argument("--hash_feat", type=int, default=2,
+                        help='hashgrid: feature channels per level F')
+    parser.add_argument("--hash_base_res", type=int, default=16,
+                        help='hashgrid: coarsest grid resolution')
+    parser.add_argument("--hash_max_res", type=int, default=2048,
+                        help='hashgrid: finest grid resolution')
+    parser.add_argument("--hash_hidden", type=int, default=64,
+                        help='hashgrid: decoder width (sigma + rgb nets)')
+    parser.add_argument("--hash_depth", type=int, default=3,
+                        help='hashgrid: rgb decoder layers (incl. output)')
     parser.add_argument("--triplane_upsample", type=str, default="",
                         help="triplane coarse-to-fine schedule: comma list "
                              "of step:G milestones (e.g. '3000:192,"

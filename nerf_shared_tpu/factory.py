@@ -20,13 +20,12 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
     """Coarse + (optional) fine model configs from flags
     (reference utils.py:119-139; output_ch=5 quirk kept for parity — it only
     matters when use_viewdirs=False, reference nerf.py:94)."""
-    if getattr(args, "model_type", "nerf") == "triplane":
+    model_type = getattr(args, "model_type", "nerf")
+    if model_type in ("triplane", "hashgrid"):
         if getattr(args, "proposal", False):
             raise ValueError(
-                "--proposal currently targets the MLP family; the triplane "
-                "coarse branch is already cheap (shared planes)")
-        from nerf_shared_tpu.models.triplane import TriplaneConfig
-
+                "--proposal currently targets the MLP family; the grid "
+                "families' coarse branch is already cheap (shared features)")
         if (getattr(args, "dataset_type", "") == "llff"
                 and not getattr(args, "no_ndc", True)):
             # NDC scenes: the model is trained on NDC points, which live in
@@ -36,23 +35,45 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
             aabb_min = (-1.05, -1.05, -1.001)
             aabb_max = (1.05, 1.05, 1.001)
         else:
+            # one AABB knob for every grid family (auto-resolved from the
+            # train-camera frustums by apps/train._resolve_triplane_aabb)
             half = float(getattr(args, "triplane_aabb", 0.0)) or 4.5
             aabb_min = (-half,) * 3
             aabb_max = (half,) * 3
-        tcfg = TriplaneConfig(
-            G=args.triplane_res,
-            C=args.triplane_feat,
-            hidden=args.triplane_hidden,
-            depth=args.triplane_depth,
-            use_viewdirs=args.use_viewdirs,
-            multires_views=args.multires_views,
-            i_embed=args.i_embed,
-            aabb_min=aabb_min,
-            aabb_max=aabb_max,
-        )
+        if model_type == "hashgrid":
+            from nerf_shared_tpu.models.hashgrid import HashGridConfig
+
+            gcfg = HashGridConfig(
+                L=getattr(args, "hash_levels", 16),
+                log2_T=getattr(args, "hash_log2_size", 19),
+                F=getattr(args, "hash_feat", 2),
+                base_res=getattr(args, "hash_base_res", 16),
+                max_res=getattr(args, "hash_max_res", 2048),
+                hidden=getattr(args, "hash_hidden", 64),
+                rgb_depth=getattr(args, "hash_depth", 3),
+                use_viewdirs=args.use_viewdirs,
+                multires_views=args.multires_views,
+                i_embed=args.i_embed,
+                aabb_min=aabb_min,
+                aabb_max=aabb_max,
+            )
+        else:
+            from nerf_shared_tpu.models.triplane import TriplaneConfig
+
+            gcfg = TriplaneConfig(
+                G=args.triplane_res,
+                C=args.triplane_feat,
+                hidden=args.triplane_hidden,
+                depth=args.triplane_depth,
+                use_viewdirs=args.use_viewdirs,
+                multires_views=args.multires_views,
+                i_embed=args.i_embed,
+                aabb_min=aabb_min,
+                aabb_max=aabb_max,
+            )
         # same config for both branches: the hierarchy (when N_importance
-        # > 0) importance-samples from an identical coarse triplane
-        return tcfg, (tcfg if args.N_importance > 0 else None)
+        # > 0) importance-samples from an identical coarse grid model
+        return gcfg, (gcfg if args.N_importance > 0 else None)
     output_ch = 5 if args.N_importance > 0 else 4
     if getattr(args, "proposal", False):
         if args.N_importance <= 0:
@@ -101,12 +122,27 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
 
 
 def create_nerf_models(args, key=None) -> Tuple[NeRF, Optional[NeRF]]:
-    """Instantiate coarse + fine NeRF wrappers (reference utils.py:119-139)."""
+    """Instantiate coarse + fine model wrappers (reference utils.py:119-139).
+    Returns the wrapper class of the selected family (NeRF / Triplane /
+    HashGrid) — all three share the (cfg, params, __call__, get_density)
+    surface."""
     key = key if key is not None else jax.random.PRNGKey(args.jax_seed)
     kc, kf = jax.random.split(key)
     ccfg, fcfg = nerf_configs(args)
-    coarse = NeRF.create(kc, ccfg)
-    fine = NeRF.create(kf, fcfg) if fcfg is not None else None
+
+    def mk(k, cfg):
+        if isinstance(cfg, NeRFConfig):
+            return NeRF.create(k, cfg)
+        from nerf_shared_tpu.models.triplane import Triplane, TriplaneConfig
+
+        if isinstance(cfg, TriplaneConfig):
+            return Triplane.create(k, cfg)
+        from nerf_shared_tpu.models.hashgrid import HashGrid
+
+        return HashGrid.create(k, cfg)
+
+    coarse = mk(kc, ccfg)
+    fine = mk(kf, fcfg) if fcfg is not None else None
     return coarse, fine
 
 
@@ -158,7 +194,8 @@ def get_train_state(args, key=None, n_refine_poses: int = 0,
     ccfg, fcfg = nerf_configs(args)
     grid_lr = (
         float(getattr(args, "grid_lrate", 2e-2))
-        if getattr(args, "model_type", "nerf") == "triplane" else None
+        if getattr(args, "model_type", "nerf") in ("triplane", "hashgrid")
+        else None
     )
     return create_train_state(
         key, ccfg, fcfg, lrate=args.lrate, lrate_decay=args.lrate_decay,

@@ -11,6 +11,12 @@ from nerf_shared_tpu.models.triplane import (
     init_triplane_params,
     apply_triplane,
 )
+from nerf_shared_tpu.models.hashgrid import (
+    HashGridConfig,
+    HashGrid,
+    init_hashgrid_params,
+    apply_hashgrid,
+)
 
 __all__ = [
     "NeRFConfig",
@@ -22,4 +28,8 @@ __all__ = [
     "Triplane",
     "init_triplane_params",
     "apply_triplane",
+    "HashGridConfig",
+    "HashGrid",
+    "init_hashgrid_params",
+    "apply_hashgrid",
 ]

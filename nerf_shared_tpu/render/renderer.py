@@ -45,15 +45,28 @@ def _apply_model(params, mcfg, pts, viewdirs, rcfg):
     (pts, viewdirs) -> raw [rgb logits, pre-relu sigma] plugs into the
     whole render/train/occupancy stack through this one seam."""
     if not isinstance(mcfg, NeRFConfig):
-        # grid families (models/triplane.py): XLA path — the Pallas MLP
-        # kernels and the .tar layout are specific to the MLP family
-        from nerf_shared_tpu.models.triplane import apply_triplane
+        # grid families (models/triplane.py, models/hashgrid.py): XLA path —
+        # the Pallas MLP kernels and the .tar layout are MLP-family-specific
+        from nerf_shared_tpu.models.triplane import (
+            TriplaneConfig, apply_triplane,
+        )
 
+        if isinstance(mcfg, TriplaneConfig):
+            apply = apply_triplane
+        else:
+            from nerf_shared_tpu.models.hashgrid import (
+                HashGridConfig, apply_hashgrid,
+            )
+
+            if not isinstance(mcfg, HashGridConfig):
+                raise TypeError(
+                    f"unknown model config type {type(mcfg).__name__}")
+            apply = apply_hashgrid
         if rcfg.remat:
             fn = jax.checkpoint(
-                lambda p, x, d: apply_triplane(p, mcfg, x, d))
+                lambda p, x, d: apply(p, mcfg, x, d))
             return fn(params, pts, viewdirs)
-        return apply_triplane(params, mcfg, pts, viewdirs)
+        return apply(params, mcfg, pts, viewdirs)
     dtype = jnp.bfloat16 if rcfg.precision == "bf16" else jnp.float32
     if rcfg.fused_backward:
         from nerf_shared_tpu.ops.pallas.fused_mlp_bwd import fused_train_op

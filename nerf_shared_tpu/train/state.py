@@ -91,7 +91,8 @@ def make_optimizer(
                 return "pose"
             if appearance_lrate is not None and "appearance" in keys:
                 return "appearance"
-            if grid_lrate is not None and "planes" in keys:
+            if grid_lrate is not None and (
+                    "planes" in keys or "tables" in keys):
                 return "grid"
             return "net"
 
@@ -102,12 +103,23 @@ def make_optimizer(
 
 def _init_params(key: jax.Array, cfg):
     """Model-family dispatch: NeRFConfig -> MLP params, TriplaneConfig ->
-    plane grids + decoder (models/triplane.py)."""
+    plane grids + decoder (models/triplane.py), HashGridConfig -> hash
+    tables + decoder (models/hashgrid.py)."""
     if isinstance(cfg, NeRFConfig):
         return init_nerf_params(key, cfg)
-    from nerf_shared_tpu.models.triplane import init_triplane_params
+    from nerf_shared_tpu.models.triplane import (
+        TriplaneConfig, init_triplane_params,
+    )
 
-    return init_triplane_params(key, cfg)
+    if isinstance(cfg, TriplaneConfig):
+        return init_triplane_params(key, cfg)
+    from nerf_shared_tpu.models.hashgrid import (
+        HashGridConfig, init_hashgrid_params,
+    )
+
+    if isinstance(cfg, HashGridConfig):
+        return init_hashgrid_params(key, cfg)
+    raise TypeError(f"unknown model config type {type(cfg).__name__}")
 
 
 def create_train_state(

@@ -400,7 +400,57 @@ def test_e2e_triplane_cli(tmp_path, capsys):
     )
     def _aabb_printed(out):
         lines = [ln for ln in out.splitlines()
-                 if "triplane aabb half-extent" in ln]
+                 if "grid aabb half-extent" in ln]
+        assert lines, "auto AABB was not resolved"
+        return lines[-1].split(":")[-1].strip()
+
+    run(config_parser().parse_args(["--config", cfg_path]))
+    aabb_train = _aabb_printed(capsys.readouterr().out)
+    expdir = os.path.join(logdir, "tiny_e2e")
+    assert glob.glob(os.path.join(expdir, "000016.ckpt.npz"))
+    assert not glob.glob(os.path.join(expdir, "*.tar"))  # grid family
+
+    run(config_parser().parse_args(
+        ["--config", cfg_path, "--N_iters", "32", "--i_weights", "32"]
+    ))
+    assert glob.glob(os.path.join(expdir, "000032.ckpt.npz"))
+    capsys.readouterr()
+
+    outdir = render_only(config_parser().parse_args(
+        ["--config", cfg_path, "--render_only", "--render_test",
+         "--chunk", "256"]
+    ))
+    aabb_render = _aabb_printed(capsys.readouterr().out)
+    assert aabb_render == aabb_train, (
+        f"render_only resolved aabb {aabb_render} != train {aabb_train}")
+    pngs = glob.glob(os.path.join(outdir, "*.png"))
+    assert len(pngs) == 2
+    import imageio.v2 as imageio
+
+    img = np.asarray(imageio.imread(pngs[0]), np.float32)
+    assert np.isfinite(img).all()
+
+
+def test_e2e_hashgrid_cli(tmp_path, capsys):
+    """--model_type hashgrid drives the full CLI on the 8-device mesh:
+    auto AABB (shared grid-family resolver), grid/net lr split, native-only
+    checkpoints, resume, and a finite render_only pass decoding over the
+    SAME box as training (models/hashgrid.py)."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    logdir = os.path.join(root, "logs")
+    os.makedirs(datadir)
+    _write_scene(datadir)
+    cfg_path = _write_config(
+        root, datadir, logdir, N_iters=16, i_weights=16, i_print=8,
+        model_type="hashgrid", hash_levels=4, hash_log2_size=8,
+        hash_base_res=4, hash_max_res=32, hash_hidden=16, hash_depth=2,
+        chunk=256, precrop_iters=0,
+    )
+
+    def _aabb_printed(out):
+        lines = [ln for ln in out.splitlines()
+                 if "grid aabb half-extent" in ln]
         assert lines, "auto AABB was not resolved"
         return lines[-1].split(":")[-1].strip()
 

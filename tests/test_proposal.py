@@ -227,5 +227,5 @@ def test_proposal_factory_wiring():
         "--expname", "t", "--datadir", "d", "--proposal", "True",
         "--N_importance", "64", "--model_type", "triplane",
     ])
-    with pytest.raises(ValueError, match="triplane"):
+    with pytest.raises(ValueError, match="MLP family"):
         nerf_configs(tri)
