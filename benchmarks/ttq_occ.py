@@ -78,12 +78,19 @@ def main():
                          "trainer collapses to all-transparent)")
     ap.add_argument("--precrop_frac", type=float, default=0.5)
     ap.add_argument("--model", type=str, default="nerf",
-                    choices=("nerf", "triplane"),
+                    choices=("nerf", "triplane", "hashgrid"),
                     help="model family: triplane = grid radiance field "
-                         "(models/triplane.py); trains via XLA with the "
-                         "grid/net lr split and --tv TV smoothness")
+                         "(models/triplane.py); hashgrid = multires hash "
+                         "encoding + tiny decoder (models/hashgrid.py); "
+                         "grid families train via XLA with the grid/net lr "
+                         "split and --tv TV smoothness (triplane only)")
     ap.add_argument("--triplane_res", type=int, default=256)
     ap.add_argument("--triplane_feat", type=int, default=16)
+    ap.add_argument("--hash_levels", type=int, default=16)
+    ap.add_argument("--hash_log2_size", type=int, default=19)
+    ap.add_argument("--hash_base_res", type=int, default=16)
+    ap.add_argument("--hash_max_res", type=int, default=1024)
+    ap.add_argument("--hash_hidden", type=int, default=64)
     ap.add_argument("--tv", type=float, default=0.0)
     ap.add_argument("--upsample", type=str, default="",
                     help="triplane coarse-to-fine milestones 'step:G,...' "
@@ -136,6 +143,14 @@ def main():
         from nerf_shared_tpu.models.triplane import TriplaneConfig
 
         cfg = TriplaneConfig(G=a.triplane_res, C=a.triplane_feat,
+                             aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
+        on_tpu = False  # Pallas kernels are MLP-family only; XLA autodiff
+    elif a.model == "hashgrid":
+        from nerf_shared_tpu.models.hashgrid import HashGridConfig
+
+        cfg = HashGridConfig(L=a.hash_levels, log2_T=a.hash_log2_size,
+                             base_res=a.hash_base_res,
+                             max_res=a.hash_max_res, hidden=a.hash_hidden,
                              aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
         on_tpu = False  # Pallas kernels are MLP-family only; XLA autodiff
     else:
