@@ -136,6 +136,35 @@ def main():
     except Exception as e:  # pragma: no cover - defensive
         print(f"# triplane secondary skipped: {e}")
 
+    # secondary: the proposal-sampler trainer (--proposal, mip-NeRF 360
+    # style density-only coarse + interlevel loss — measured at equal
+    # quality to hierarchical on the hard scene at every horizon,
+    # benchmarks/ttq_hard_proposal.jsonl). Guarded like triplane.
+    prop_rays_per_sec = None
+    try:
+        import dataclasses as _dc
+
+        pcfg = NeRFConfig(D=2, W=64, output_ch=4, use_viewdirs=False,
+                          multires=10, multires_views=4, skips=(4,))
+        rcfg_p = _dc.replace(rcfg, proposal=True)
+        pstate = create_train_state(jax.random.PRNGKey(0), pcfg, ccfg,
+                                    lrate=5e-4, lrate_decay=500)
+        pstep = make_fused_train_step(rcfg_p, pcfg, ccfg, spec,
+                                      inner_steps=INNER)
+        pstate, paux = pstep(pstate, images, poses,
+                             jax.random.fold_in(key, 300))
+        float(paux["loss"])
+        t0 = time.perf_counter()
+        for i in range(1, n_dispatch + 1):
+            pstate, paux = pstep(pstate, images, poses,
+                                 jax.random.fold_in(key, 300 + i))
+        float(paux["loss"])
+        prop_rays_per_sec = n_dispatch * INNER * N_RAND / (
+            time.perf_counter() - t0
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# proposal secondary skipped: {e}")
+
     out = {
         "metric": "lego_800p_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
@@ -145,6 +174,8 @@ def main():
     }
     if tri_rays_per_sec is not None:
         out["triplane_rays_per_sec"] = round(tri_rays_per_sec, 1)
+    if prop_rays_per_sec is not None:
+        out["proposal_rays_per_sec"] = round(prop_rays_per_sec, 1)
     print(json.dumps(out))
 
 

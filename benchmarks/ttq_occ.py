@@ -63,6 +63,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=8000)
     ap.add_argument("--eval_every", type=int, default=1000)
+    ap.add_argument("--inner", type=int, default=0,
+                    help="steps per device dispatch (lax.scan length); "
+                         "0 = eval_every. Keep dispatches short over the "
+                         "axon tunnel — long scans can crash the remote "
+                         "TPU worker (eval cadence stays --eval_every)")
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--n_rand", type=int, default=1024)
     ap.add_argument("--grid_res", type=int, default=64)
@@ -163,7 +168,9 @@ def main():
     poses_d = jnp.asarray(poses[i_train][:, :3, :4])
     eval_psnr = make_eval(images, poses, i_test, cfg, H, W, K, on_tpu)
     log = open(a.log, "w")
-    inner = a.eval_every
+    inner = a.inner or a.eval_every
+    if a.eval_every % inner != 0:
+        raise SystemExit("--eval_every must be a multiple of --inner")
     results = {}
 
     # ---- baseline: reference-semantics hierarchical step ----
@@ -262,6 +269,8 @@ def main():
                 state, imgs_d, poses_d,
                 jax.random.fold_in(jax.random.PRNGKey(1), i))
             float(aux["loss"])  # fence
+            if (i + inner) % a.eval_every != 0:
+                continue
             wall = time.perf_counter() - t0
             rec = {"impl": ("proposal" if rcfg.proposal
                             else "hierarchical" if a.model == "nerf"
@@ -352,6 +361,8 @@ def main():
             occupied = round(float(jnp.mean(occ.grid.astype(jnp.float32))),
                              4)
         float(aux["loss"])  # fence (includes maintenance in the clock)
+        if (i + inner) % a.eval_every != 0:
+            continue
         wall = time.perf_counter() - t0
         rec = {"impl": impl, "step": i + inner, "wall_s": round(wall, 2),
                "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
