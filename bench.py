@@ -13,7 +13,9 @@ NVIDIA V100 (~2.8 it/s at 1024 rays/step ~= 2,900 rays/s), the same code
 this reference was refactored from (reference README.md:204-212).
 """
 
+import contextlib
 import json
+import signal
 import time
 
 import jax
@@ -21,6 +23,26 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_RAYS_PER_SEC = 2900.0  # nerf-pytorch lego, 1x V100 (see docstring)
+
+
+@contextlib.contextmanager
+def _deadline(seconds: int):
+    """Hard wall-clock bound on a guarded secondary measurement.
+
+    The primary metric must print even if an optional model family hangs
+    the device (a TPU-worker crash over the axon tunnel has been observed
+    to leave a later fetch blocked instead of raising). SIGALRM raises in
+    the main thread, the caller's try/except turns it into a skip line."""
+    def _raise(signum, frame):
+        raise TimeoutError(f"secondary exceeded {seconds}s deadline")
+
+    prev = signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
 
 
 def main():
@@ -111,6 +133,7 @@ def main():
     # Guarded: the headline metric must survive any grid-family issue.
     tri_rays_per_sec = None
     try:
+      with _deadline(600):
         from nerf_shared_tpu.models.triplane import TriplaneConfig
 
         tcfg = TriplaneConfig(G=256, C=16, aabb_min=(-4.5,) * 3,
@@ -136,12 +159,43 @@ def main():
     except Exception as e:  # pragma: no cover - defensive
         print(f"# triplane secondary skipped: {e}")
 
+    # secondary: the hashgrid family (--model_type hashgrid, instant-NGP
+    # style multires hash encoding + tiny decoder; one fused XLA gather,
+    # scatter-add backward — see models/hashgrid.py). Guarded like triplane.
+    hash_rays_per_sec = None
+    try:
+      with _deadline(600):
+        from nerf_shared_tpu.models.hashgrid import HashGridConfig
+
+        hcfg = HashGridConfig(aabb_min=(-4.5,) * 3, aabb_max=(4.5,) * 3)
+        import dataclasses as _dc
+
+        rcfg_h = _dc.replace(rcfg, use_pallas=False, fused_backward=False)
+        hstate = create_train_state(jax.random.PRNGKey(0), hcfg, hcfg,
+                                    lrate=5e-4, lrate_decay=500)
+        hstep = make_fused_train_step(rcfg_h, hcfg, hcfg, spec,
+                                      inner_steps=INNER)
+        hstate, haux = hstep(hstate, images, poses,
+                             jax.random.fold_in(key, 400))
+        float(haux["loss"])
+        t0 = time.perf_counter()
+        for i in range(1, n_dispatch + 1):
+            hstate, haux = hstep(hstate, images, poses,
+                                 jax.random.fold_in(key, 400 + i))
+        float(haux["loss"])
+        hash_rays_per_sec = n_dispatch * INNER * N_RAND / (
+            time.perf_counter() - t0
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# hashgrid secondary skipped: {e}")
+
     # secondary: the proposal-sampler trainer (--proposal, mip-NeRF 360
     # style density-only coarse + interlevel loss — measured at equal
     # quality to hierarchical on the hard scene at every horizon,
     # benchmarks/ttq_hard_proposal.jsonl). Guarded like triplane.
     prop_rays_per_sec = None
     try:
+      with _deadline(600):
         import dataclasses as _dc
 
         pcfg = NeRFConfig(D=2, W=64, output_ch=4, use_viewdirs=False,
@@ -174,6 +228,8 @@ def main():
     }
     if tri_rays_per_sec is not None:
         out["triplane_rays_per_sec"] = round(tri_rays_per_sec, 1)
+    if hash_rays_per_sec is not None:
+        out["hashgrid_rays_per_sec"] = round(hash_rays_per_sec, 1)
     if prop_rays_per_sec is not None:
         out["proposal_rays_per_sec"] = round(prop_rays_per_sec, 1)
     print(json.dumps(out))
