@@ -248,6 +248,15 @@ def config_parser() -> ConfigArgumentParser:
                         help='hashgrid: decoder width (sigma + rgb nets)')
     parser.add_argument("--hash_depth", type=int, default=3,
                         help='hashgrid: rgb decoder layers (incl. output)')
+    parser.add_argument("--hash_layout", type=str, default="vertex",
+                        choices=["vertex", "cell"],
+                        help='hashgrid table layout: "vertex" = NGP-faithful '
+                             'shared corners (8 gathered rows per '
+                             'point-level); "cell" = packed corners, one '
+                             '[8F]-wide row per point-level — 8x fewer rows '
+                             'on TPU\'s issue-rate-bound gather/scatter '
+                             '(models/hashgrid.py docstring). Matched param '
+                             'count: drop --hash_log2_size by 3 with "cell"')
     parser.add_argument("--triplane_upsample", type=str, default="",
                         help="triplane coarse-to-fine schedule: comma list "
                              "of step:G milestones (e.g. '3000:192,"

@@ -51,6 +51,7 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
                 max_res=getattr(args, "hash_max_res", 2048),
                 hidden=getattr(args, "hash_hidden", 64),
                 rgb_depth=getattr(args, "hash_depth", 3),
+                layout=getattr(args, "hash_layout", "vertex"),
                 use_viewdirs=args.use_viewdirs,
                 multires_views=args.multires_views,
                 i_embed=args.i_embed,

@@ -16,6 +16,21 @@ per-thread table lookups in L2):
   tensor (8 trilinear corners x L levels) and issues ONE ``jnp.take`` —
   a single large XLA gather instead of 8L small ones. The backward pass is
   the mirrored one-shot scatter-add XLA derives for ``take``.
+- **Packed-corner "cell" layout** (``layout="cell"``): TPU gathers and
+  scatters are ISSUE-RATE bound — cost is per ROW, nearly independent of
+  row width (measured on v5e, benchmarks/hash_scatter_bench.py: gather
+  ~97M rows/s, scatter-add ~16M rows/s, so the default vertex layout's
+  25.2M rows/step cost 0.26 s fwd + 1.58 s bwd at the lego recipe sizes;
+  a sorted segment-sum backward is WORSE, 2.7 s — the 25M-key sort
+  dominates). The cell layout hashes the CELL instead of its 8 vertices
+  and stores all 8 corner features contiguously in one ``[8*F]``-wide row
+  -> 8x fewer rows per step for the same FLOPs, at the cost of corner
+  sharing between adjacent cells (the field becomes trilinear-per-cell
+  with C0 breaks at cell faces; fine hashed levels already alias cells
+  arbitrarily, and the decoder + L-level sum smooth the rest — measured
+  quality delta on the procedural scenes is in BASELINE.md). Capacity
+  note: a cell row holds 8F params, so matched parameter count means
+  ``log2_T`` three smaller than the vertex layout (19 -> 16).
 - **Direct indexing on coarse levels.** Levels where ``(N_l+1)^3 <= T``
   index their vertices collision-free (the NGP paper's rule); only fine
   levels hash. The per-level choice is static (baked into the compiled
@@ -81,6 +96,11 @@ class HashGridConfig:
     aabb_max: tuple = (4.5, 4.5, 4.5)
     sigma_bias: float = 0.1     # mildly opaque start (same white-background
                                 # transparency-trap guard as the triplane)
+    layout: str = "vertex"      # "vertex" = NGP-faithful shared corners
+                                # (8 gathered rows per point-level);
+                                # "cell" = packed corners (1 row of 8F per
+                                # point-level — the TPU-fast layout, see
+                                # module docstring)
 
     @property
     def T(self) -> int:
@@ -108,16 +128,28 @@ class HashGridConfig:
 
     @property
     def level_hashed(self) -> Tuple[bool, ...]:
-        """True for levels whose vertex count exceeds T (hash those);
-        coarse levels index directly, collision-free."""
+        """True for levels whose vertex (or, for the cell layout, cell)
+        count exceeds T (hash those); coarse levels index directly,
+        collision-free."""
+        if self.layout == "cell":
+            return tuple(n ** 3 > self.T for n in self.resolutions)
         return tuple((n + 1) ** 3 > self.T for n in self.resolutions)
+
+    @property
+    def row_width(self) -> int:
+        """Feature-table row width: F per vertex row, 8F per cell row."""
+        return self.F * (8 if self.layout == "cell" else 1)
 
 
 def init_hashgrid_params(key: jax.Array, cfg: HashGridConfig,
                          dtype=jnp.float32):
+    if cfg.layout not in ("vertex", "cell"):
+        raise ValueError(f"unknown hashgrid layout {cfg.layout!r} "
+                         "(expected 'vertex' or 'cell')")
     kt, ks1, ks2, *kr = jax.random.split(key, 4 + cfg.rgb_depth)
     tables = jax.random.uniform(
-        kt, (cfg.L * cfg.T, cfg.F), dtype=dtype, minval=-1e-4, maxval=1e-4)
+        kt, (cfg.L * cfg.T, cfg.row_width), dtype=dtype,
+        minval=-1e-4, maxval=1e-4)
     # The sigma output layer starts near zero (1e-2-scaled weights, zero
     # bias) so initial sigma == sigma_bias > 0 everywhere. A torch-default
     # init draws a spatially-CONSTANT sigma (the encode is ~0 at init) whose
@@ -163,28 +195,49 @@ def hashgrid_features(params, cfg: HashGridConfig, pts: jnp.ndarray):
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, nmax[None, :, None])
     frac = jnp.clip(xs - x0.astype(dt), 0.0, 1.0)   # [P, L, 3]
 
-    corners = x0[:, :, None, :] + jnp.asarray(_CORNERS, jnp.int32)
-    # [P, L, 8, 3] integer vertex coords, each in [0, N_l]
-
-    # direct (collision-free) index for coarse levels: x + y*(N+1) + z*(N+1)^2
-    stride = jnp.asarray([n + 1 for n in cfg.resolutions], jnp.int32)
-    direct = (corners[..., 0]
-              + corners[..., 1] * stride[None, :, None]
-              + corners[..., 2] * (stride * stride)[None, :, None])
-
-    # NGP spatial hash for fine levels: (x*p0 ^ y*p1 ^ z*p2) mod 2^log2_T
-    cu = corners.astype(jnp.uint32)
-    hashed = (cu[..., 0] * jnp.uint32(_HASH_PRIMES[0])
-              ^ cu[..., 1] * jnp.uint32(_HASH_PRIMES[1])
-              ^ cu[..., 2] * jnp.uint32(_HASH_PRIMES[2]))
-    hashed = (hashed & jnp.uint32(cfg.T - 1)).astype(jnp.int32)
-
     use_hash = jnp.asarray(cfg.level_hashed, bool)  # [L] static constant
-    idx = jnp.where(use_hash[None, :, None], hashed, direct)
-    idx = idx + (jnp.arange(cfg.L, dtype=jnp.int32) * cfg.T)[None, :, None]
+    level_off = (jnp.arange(cfg.L, dtype=jnp.int32) * cfg.T)
 
-    g = jnp.take(params["tables"], idx.reshape(-1), axis=0)
-    g = g.reshape(idx.shape + (cfg.F,))             # [P, L, 8, F]
+    if cfg.layout == "cell":
+        # one gathered row per (point, level): the CELL's 8 packed corners
+        # ([8*F] wide) — 8x fewer rows than the vertex layout on TPU's
+        # issue-rate-bound gather/scatter (module docstring)
+        stride = jnp.asarray(cfg.resolutions, jnp.int32)      # N_l cells/side
+        direct = (x0[..., 0]
+                  + x0[..., 1] * stride[None, :]
+                  + x0[..., 2] * (stride * stride)[None, :])  # [P, L]
+        cu = x0.astype(jnp.uint32)
+        hashed = (cu[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+                  ^ cu[..., 1] * jnp.uint32(_HASH_PRIMES[1])
+                  ^ cu[..., 2] * jnp.uint32(_HASH_PRIMES[2]))
+        hashed = (hashed & jnp.uint32(cfg.T - 1)).astype(jnp.int32)
+        idx = jnp.where(use_hash[None, :], hashed, direct) + level_off[None, :]
+        g = jnp.take(params["tables"], idx.reshape(-1), axis=0)
+        g = g.reshape(idx.shape + (8, cfg.F))       # [P, L, 8, F]
+    else:
+        corners = x0[:, :, None, :] + jnp.asarray(_CORNERS, jnp.int32)
+        # [P, L, 8, 3] integer vertex coords, each in [0, N_l]
+
+        # direct (collision-free) index for coarse levels:
+        # x + y*(N+1) + z*(N+1)^2
+        stride = jnp.asarray([n + 1 for n in cfg.resolutions], jnp.int32)
+        direct = (corners[..., 0]
+                  + corners[..., 1] * stride[None, :, None]
+                  + corners[..., 2] * (stride * stride)[None, :, None])
+
+        # NGP spatial hash for fine levels:
+        # (x*p0 ^ y*p1 ^ z*p2) mod 2^log2_T
+        cu = corners.astype(jnp.uint32)
+        hashed = (cu[..., 0] * jnp.uint32(_HASH_PRIMES[0])
+                  ^ cu[..., 1] * jnp.uint32(_HASH_PRIMES[1])
+                  ^ cu[..., 2] * jnp.uint32(_HASH_PRIMES[2]))
+        hashed = (hashed & jnp.uint32(cfg.T - 1)).astype(jnp.int32)
+
+        idx = jnp.where(use_hash[None, :, None], hashed, direct)
+        idx = idx + level_off[None, :, None]
+
+        g = jnp.take(params["tables"], idx.reshape(-1), axis=0)
+        g = g.reshape(idx.shape + (cfg.F,))         # [P, L, 8, F]
 
     off = jnp.asarray(_CORNERS, dt)                 # [8, 3]
     w = jnp.prod(

@@ -42,6 +42,22 @@ def _numpy_features(params, cfg, pts):
         xs = u * n
         x0 = np.clip(np.floor(xs).astype(np.int64), 0, n - 1)
         frac = np.clip(xs - x0, 0.0, 1.0)
+        if cfg.layout == "cell":
+            # one row per cell; corners packed [8, F] in _CORNERS order
+            if cfg.level_hashed[l]:
+                cu = x0.astype(np.uint32)
+                row = (cu[:, 0] * np.uint32(_HASH_PRIMES[0])
+                       ^ cu[:, 1] * np.uint32(_HASH_PRIMES[1])
+                       ^ cu[:, 2] * np.uint32(_HASH_PRIMES[2]))
+                row = (row & np.uint32(cfg.T - 1)).astype(np.int64)
+            else:
+                row = x0[:, 0] + x0[:, 1] * n + x0[:, 2] * n * n
+            packed = tables[row + l * cfg.T].reshape(-1, 8, cfg.F)
+            for ci, off in enumerate(np.asarray(_CORNERS)):
+                w = np.prod(np.where(off > 0, frac, 1.0 - frac), axis=-1)
+                out[:, l * cfg.F:(l + 1) * cfg.F] += (
+                    packed[:, ci] * w[:, None])
+            continue
         for ci, off in enumerate(np.asarray(_CORNERS)):
             c = x0 + off
             if cfg.level_hashed[l]:
@@ -66,8 +82,9 @@ def test_level_layout():
     assert cfg.T == 256
 
 
-def test_features_match_numpy_oracle():
-    cfg = _cfg()
+@pytest.mark.parametrize("layout", ["vertex", "cell"])
+def test_features_match_numpy_oracle(layout):
+    cfg = _cfg(layout=layout)
     p = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
     # scale tables up so the comparison isn't vacuous at the 1e-4 init
     p = {**p, "tables": p["tables"] * 1e4}
@@ -76,6 +93,31 @@ def test_features_match_numpy_oracle():
     got = np.asarray(hashgrid_features(p, cfg, pts))
     want = _numpy_features(p, cfg, pts)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cell_layout_row_shape_and_level_rule():
+    cfg = _cfg(layout="cell")
+    # cells (not vertices) drive the direct/hash rule: N^3 <= T=256 for
+    # N in (4, [8 boundary: 512 > 256 -> hashed])
+    assert cfg.level_hashed == (False, True, True, True)
+    p = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+    assert p["tables"].shape == (cfg.L * cfg.T, 8 * cfg.F)
+
+
+def test_cell_layout_gradients_hit_one_row_per_level():
+    """A point interior to one cell must route ALL its table gradient into
+    that cell's single packed row on each level (8x fewer scattered rows on
+    TPU is the whole point of the layout)."""
+    cfg = _cfg(layout="cell")
+    p = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+    pt = jnp.asarray([[0.31, -1.27, 2.43]], jnp.float32)
+    g = jax.grad(
+        lambda t: jnp.sum(hashgrid_features({**p, "tables": t}, cfg, pt)))(
+            p["tables"])
+    rows = np.unique(np.nonzero(np.asarray(g))[0])
+    assert len(rows) <= cfg.L  # one touched row per level (collisions may
+    #                            merge rows across levels' offsets — never
+    #                            split them)
 
 
 def test_corner_exactness_direct_level():
