@@ -96,6 +96,12 @@ def main():
     ap.add_argument("--hash_base_res", type=int, default=16)
     ap.add_argument("--hash_max_res", type=int, default=1024)
     ap.add_argument("--hash_hidden", type=int, default=64)
+    ap.add_argument("--hash_layout", type=str, default="vertex",
+                    choices=("vertex", "cell"),
+                    help="hash table layout: 'cell' packs the 8 corners in "
+                         "one row -> 8x fewer gather/scatter rows on TPU "
+                         "(models/hashgrid.py docstring); match params by "
+                         "dropping --hash_log2_size by 3")
     ap.add_argument("--tv", type=float, default=0.0)
     ap.add_argument("--upsample", type=str, default="",
                     help="triplane coarse-to-fine milestones 'step:G,...' "
@@ -156,6 +162,7 @@ def main():
         cfg = HashGridConfig(L=a.hash_levels, log2_T=a.hash_log2_size,
                              base_res=a.hash_base_res,
                              max_res=a.hash_max_res, hidden=a.hash_hidden,
+                             layout=a.hash_layout,
                              aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
         on_tpu = False  # Pallas kernels are MLP-family only; XLA autodiff
     else:
