@@ -162,12 +162,17 @@ def main():
     # secondary: the hashgrid family (--model_type hashgrid, instant-NGP
     # style multires hash encoding + tiny decoder; one fused XLA gather,
     # scatter-add backward — see models/hashgrid.py). Guarded like triplane.
+    # Measured TPU recipe: packed-corner "cell" layout at matched capacity
+    # (log2_T 19-3=16) — the vertex layout's 25.2M scattered rows/step run
+    # at ~16M rows/s on v5e (2.35 s/step, benchmarks/hash_scatter_bench.py)
+    # and would blow this secondary's deadline.
     hash_rays_per_sec = None
     try:
       with _deadline(600):
         from nerf_shared_tpu.models.hashgrid import HashGridConfig
 
-        hcfg = HashGridConfig(aabb_min=(-4.5,) * 3, aabb_max=(4.5,) * 3)
+        hcfg = HashGridConfig(layout="cell", log2_T=16,
+                              aabb_min=(-4.5,) * 3, aabb_max=(4.5,) * 3)
         import dataclasses as _dc
 
         rcfg_h = _dc.replace(rcfg, use_pallas=False, fused_backward=False)
