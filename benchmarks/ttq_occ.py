@@ -141,7 +141,14 @@ def main():
                          "(benchmarks/hard_scene.py), the real-dataset "
                          "stand-in of the round-2 verdict")
     ap.add_argument("--log", type=str, default="benchmarks/ttq_occ_log.jsonl")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke/insurance runs while "
+                         "the TPU is busy or the tunnel is down; the "
+                         "JAX_PLATFORMS env var alone is not honored under "
+                         "the axon plugin — see tests/conftest.py)")
     a = ap.parse_args()
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     if a.scene == "hard":
         from benchmarks.hard_scene import make_scene as make_hard
