@@ -213,7 +213,14 @@ def hashgrid_features(params, cfg: HashGridConfig, pts: jnp.ndarray):
         hashed = (hashed & jnp.uint32(cfg.T - 1)).astype(jnp.int32)
         idx = jnp.where(use_hash[None, :], hashed, direct) + level_off[None, :]
         g = jnp.take(params["tables"], idx.reshape(-1), axis=0)
-        g = g.reshape(idx.shape + (8, cfg.F))       # [P, L, 8, F]
+        # Keep the gathered row [P*L, 8F] and split only MAJOR dims.
+        # Splitting the minor gathered dim (reshape to [P, L, 8, F]) makes
+        # XLA:TPU materialize a transposed copy with the tiny F minor dim
+        # lane-padded 8x — a 51 GB allocation at render chunk sizes
+        # (observed: f32[8,2,6291456,16] from reshape.362). The corner sum
+        # below instead uses static lane slices of the [8F]-wide row, which
+        # fuse into the multiply-add without any layout change.
+        g = g.reshape(idx.shape + (8 * cfg.F,))     # [P, L, 8F]
     else:
         corners = x0[:, :, None, :] + jnp.asarray(_CORNERS, jnp.int32)
         # [P, L, 8, 3] integer vertex coords, each in [0, N_l]
@@ -245,7 +252,15 @@ def hashgrid_features(params, cfg: HashGridConfig, pts: jnp.ndarray):
         + (1.0 - off[None, None]) * (1.0 - frac[:, :, None, :]),
         axis=-1,
     )                                               # [P, L, 8]
-    feat = jnp.sum(g * w[..., None], axis=2)        # [P, L, F]
+    if cfg.layout == "cell":
+        # trilinear corner sum over the packed [8F]-wide row via static
+        # slices (see layout note above — no minor-dim reshape)
+        feat = sum(
+            g[..., c * cfg.F:(c + 1) * cfg.F] * w[..., c:c + 1]
+            for c in range(8)
+        )                                           # [P, L, F]
+    else:
+        feat = jnp.sum(g * w[..., None], axis=2)    # [P, L, F]
     return feat.reshape(lead + (cfg.L * cfg.F,))
 
 
