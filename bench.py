@@ -160,18 +160,24 @@ def main():
         print(f"# triplane secondary skipped: {e}")
 
     # secondary: the hashgrid family (--model_type hashgrid, instant-NGP
-    # style multires hash encoding + tiny decoder; one fused XLA gather,
-    # scatter-add backward — see models/hashgrid.py). Guarded like triplane.
-    # Measured TPU recipe: packed-corner "cell" layout at matched capacity
-    # (log2_T 19-3=16) — the vertex layout's 25.2M scattered rows/step run
-    # at ~16M rows/s on v5e (2.35 s/step, benchmarks/hash_scatter_bench.py)
-    # and would blow this secondary's deadline.
+    # style multires hash encoding + tiny decoder — see models/hashgrid.py).
+    # Guarded like triplane. Measured TPU recipe (round 4): "split" layout
+    # (per-level tables — XLA scatter-add collapses with table row count,
+    # benchmarks/scatter_probe2.py), octave level spacing L=8, F=8,
+    # log2_T=14. Two rows are reported, each labeled with its recipe
+    # (historical comparability — ADVICE r3): the full 64+128-sample fused
+    # step, and the occupancy-gated step (n_candidates=64/n_keep=32, the
+    # instant-NGP-canonical estimator this family is designed around —
+    # NGP's own speed comes from occupancy-gated marching, not dense
+    # sampling).
+    HASH_RECIPE = "split_L8_F8_T14"
     hash_rays_per_sec = None
+    hash_occ_rays_per_sec = None
     try:
       with _deadline(600):
         from nerf_shared_tpu.models.hashgrid import HashGridConfig
 
-        hcfg = HashGridConfig(layout="cell", log2_T=16,
+        hcfg = HashGridConfig(layout="split", L=8, F=8, log2_T=14,
                               aabb_min=(-4.5,) * 3, aabb_max=(4.5,) * 3)
         import dataclasses as _dc
 
@@ -189,6 +195,22 @@ def main():
                                  jax.random.fold_in(key, 400 + i))
         float(haux["loss"])
         hash_rays_per_sec = n_dispatch * INNER * N_RAND / (
+            time.perf_counter() - t0
+        )
+
+        hostate = create_train_state(jax.random.PRNGKey(0), hcfg, hcfg,
+                                     lrate=5e-4, lrate_decay=500)
+        hostep = make_occ_train_step(rcfg_h, hcfg, spec, n_candidates=64,
+                                     n_keep=32, inner_steps=INNER)
+        hostate, hoaux = hostep(hostate, occ, images, poses,
+                                jax.random.fold_in(key, 500))
+        float(hoaux["loss"])
+        t0 = time.perf_counter()
+        for i in range(1, n_dispatch + 1):
+            hostate, hoaux = hostep(hostate, occ, images, poses,
+                                    jax.random.fold_in(key, 500 + i))
+        float(hoaux["loss"])
+        hash_occ_rays_per_sec = n_dispatch * INNER * N_RAND / (
             time.perf_counter() - t0
         )
     except Exception as e:  # pragma: no cover - defensive
@@ -235,6 +257,10 @@ def main():
         out["triplane_rays_per_sec"] = round(tri_rays_per_sec, 1)
     if hash_rays_per_sec is not None:
         out["hashgrid_rays_per_sec"] = round(hash_rays_per_sec, 1)
+        out["hashgrid_recipe"] = HASH_RECIPE
+    if hash_occ_rays_per_sec is not None:
+        out["hashgrid_occ_rays_per_sec"] = round(hash_occ_rays_per_sec, 1)
+        out["hashgrid_occ_recipe"] = HASH_RECIPE + "_occ64k32"
     if prop_rays_per_sec is not None:
         out["proposal_rays_per_sec"] = round(prop_rays_per_sec, 1)
     print(json.dumps(out))

@@ -249,14 +249,19 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--hash_depth", type=int, default=3,
                         help='hashgrid: rgb decoder layers (incl. output)')
     parser.add_argument("--hash_layout", type=str, default="vertex",
-                        choices=["vertex", "cell"],
+                        choices=["vertex", "cell", "split"],
                         help='hashgrid table layout: "vertex" = NGP-faithful '
                              'shared corners (8 gathered rows per '
                              'point-level); "cell" = packed corners, one '
                              '[8F]-wide row per point-level — 8x fewer rows '
-                             'on TPU\'s issue-rate-bound gather/scatter '
+                             'on TPU\'s issue-rate-bound gather/scatter; '
+                             '"split" = cell packing + per-level tables '
+                             '(direct levels sized exactly N^3) — the '
+                             'TPU-fast layout: XLA scatter-add collapses '
+                             'with table row count, so per-level tables '
+                             'scatter ~5x faster than one fused [L*T] table '
                              '(models/hashgrid.py docstring). Matched param '
-                             'count: drop --hash_log2_size by 3 with "cell"')
+                             'count: drop --hash_log2_size by 3 vs "vertex"')
     parser.add_argument("--triplane_upsample", type=str, default="",
                         help="triplane coarse-to-fine schedule: comma list "
                              "of step:G milestones (e.g. '3000:192,"

@@ -99,8 +99,17 @@ class HashGridConfig:
     layout: str = "vertex"      # "vertex" = NGP-faithful shared corners
                                 # (8 gathered rows per point-level);
                                 # "cell" = packed corners (1 row of 8F per
-                                # point-level — the TPU-fast layout, see
-                                # module docstring)
+                                # point-level — fewer rows on TPU's
+                                # issue-rate-bound gather/scatter);
+                                # "split" = cell packing + PER-LEVEL tables
+                                # (direct levels sized exactly N^3) — the
+                                # TPU-fast layout: XLA's scatter-add rate
+                                # collapses with table row count (measured
+                                # v5e, benchmarks/scatter_probe2.py: 93M
+                                # rows/s at 2^14 rows, 53M at 2^16, ~10M at
+                                # 2^19), so one fused [L*T, 8F] table
+                                # (2^20 rows) runs ~5x slower than L
+                                # per-level scatters of the same rows
 
     @property
     def T(self) -> int:
@@ -128,28 +137,44 @@ class HashGridConfig:
 
     @property
     def level_hashed(self) -> Tuple[bool, ...]:
-        """True for levels whose vertex (or, for the cell layout, cell)
+        """True for levels whose vertex (or, for the cell layouts, cell)
         count exceeds T (hash those); coarse levels index directly,
         collision-free."""
-        if self.layout == "cell":
+        if self.layout in ("cell", "split"):
             return tuple(n ** 3 > self.T for n in self.resolutions)
         return tuple((n + 1) ** 3 > self.T for n in self.resolutions)
 
     @property
     def row_width(self) -> int:
         """Feature-table row width: F per vertex row, 8F per cell row."""
-        return self.F * (8 if self.layout == "cell" else 1)
+        return self.F * (8 if self.layout in ("cell", "split") else 1)
+
+    @property
+    def level_table_rows(self) -> Tuple[int, ...]:
+        """Per-level table row counts for the "split" layout: direct
+        levels hold exactly N^3 cell rows (often far fewer than T — a
+        direct win for both param count and the row-count-sensitive
+        scatter rate), hashed levels hold T."""
+        return tuple(min(n ** 3, self.T) for n in self.resolutions)
 
 
 def init_hashgrid_params(key: jax.Array, cfg: HashGridConfig,
                          dtype=jnp.float32):
-    if cfg.layout not in ("vertex", "cell"):
+    if cfg.layout not in ("vertex", "cell", "split"):
         raise ValueError(f"unknown hashgrid layout {cfg.layout!r} "
-                         "(expected 'vertex' or 'cell')")
+                         "(expected 'vertex', 'cell' or 'split')")
     kt, ks1, ks2, *kr = jax.random.split(key, 4 + cfg.rgb_depth)
-    tables = jax.random.uniform(
-        kt, (cfg.L * cfg.T, cfg.row_width), dtype=dtype,
-        minval=-1e-4, maxval=1e-4)
+    if cfg.layout == "split":
+        tables = [
+            jax.random.uniform(
+                jax.random.fold_in(kt, l), (rows, cfg.row_width),
+                dtype=dtype, minval=-1e-4, maxval=1e-4)
+            for l, rows in enumerate(cfg.level_table_rows)
+        ]
+    else:
+        tables = jax.random.uniform(
+            kt, (cfg.L * cfg.T, cfg.row_width), dtype=dtype,
+            minval=-1e-4, maxval=1e-4)
     # The sigma output layer starts near zero (1e-2-scaled weights, zero
     # bias) so initial sigma == sigma_bias > 0 everywhere. A torch-default
     # init draws a spatially-CONSTANT sigma (the encode is ~0 at init) whose
@@ -194,6 +219,39 @@ def hashgrid_features(params, cfg: HashGridConfig, pts: jnp.ndarray):
     nmax = jnp.asarray(cfg.resolutions, jnp.int32) - 1
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, nmax[None, :, None])
     frac = jnp.clip(xs - x0.astype(dt), 0.0, 1.0)   # [P, L, 3]
+
+    off = jnp.asarray(_CORNERS, dt)                 # [8, 3]
+    w = jnp.prod(
+        off[None, None] * frac[:, :, None, :]
+        + (1.0 - off[None, None]) * (1.0 - frac[:, :, None, :]),
+        axis=-1,
+    )                                               # [P, L, 8]
+
+    if cfg.layout == "split":
+        # Per-level tables, cell-packed rows. Each level is an independent
+        # gather of P rows from its own small table; the backward is L
+        # independent scatter-adds that run at the small-table rate
+        # (benchmarks/scatter_probe2.py — the whole point of this layout).
+        # The level loop is static Python (L <= ~16, unrolled by XLA).
+        feats = []
+        for l, (n, rows, hashed_l) in enumerate(zip(
+                cfg.resolutions, cfg.level_table_rows, cfg.level_hashed)):
+            x0l = x0[:, l, :]                       # [P, 3] int32
+            if hashed_l:
+                cu = x0l.astype(jnp.uint32)
+                idx = (cu[:, 0] * jnp.uint32(_HASH_PRIMES[0])
+                       ^ cu[:, 1] * jnp.uint32(_HASH_PRIMES[1])
+                       ^ cu[:, 2] * jnp.uint32(_HASH_PRIMES[2]))
+                idx = (idx & jnp.uint32(rows - 1)).astype(jnp.int32)
+            else:
+                idx = x0l[:, 0] + x0l[:, 1] * n + x0l[:, 2] * (n * n)
+            g = jnp.take(params["tables"][l], idx, axis=0)  # [P, 8F]
+            feats.append(sum(
+                g[:, c * cfg.F:(c + 1) * cfg.F] * w[:, l, c:c + 1]
+                for c in range(8)
+            ))                                      # [P, F]
+        feat = jnp.stack(feats, axis=1)             # [P, L, F]
+        return feat.reshape(lead + (cfg.L * cfg.F,))
 
     use_hash = jnp.asarray(cfg.level_hashed, bool)  # [L] static constant
     level_off = (jnp.arange(cfg.L, dtype=jnp.int32) * cfg.T)
@@ -246,12 +304,6 @@ def hashgrid_features(params, cfg: HashGridConfig, pts: jnp.ndarray):
         g = jnp.take(params["tables"], idx.reshape(-1), axis=0)
         g = g.reshape(idx.shape + (cfg.F,))         # [P, L, 8, F]
 
-    off = jnp.asarray(_CORNERS, dt)                 # [8, 3]
-    w = jnp.prod(
-        off[None, None] * frac[:, :, None, :]
-        + (1.0 - off[None, None]) * (1.0 - frac[:, :, None, :]),
-        axis=-1,
-    )                                               # [P, L, 8]
     if cfg.layout == "cell":
         # trilinear corner sum over the packed [8F]-wide row via static
         # slices (see layout note above — no minor-dim reshape)

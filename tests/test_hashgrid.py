@@ -32,7 +32,8 @@ def _numpy_features(params, cfg, pts):
     """Pure-numpy oracle of hashgrid_features (independent reimplementation
     of the NGP encode: per-level scale, floor, trilinear weights, direct
     indexing on coarse levels, multiply-xor hash on fine levels)."""
-    tables = np.asarray(params["tables"])
+    tables = (None if cfg.layout == "split"
+              else np.asarray(params["tables"]))
     x = np.asarray(pts).reshape(-1, 3).astype(np.float64)
     lo = np.asarray(cfg.aabb_min)
     hi = np.asarray(cfg.aabb_max)
@@ -42,17 +43,23 @@ def _numpy_features(params, cfg, pts):
         xs = u * n
         x0 = np.clip(np.floor(xs).astype(np.int64), 0, n - 1)
         frac = np.clip(xs - x0, 0.0, 1.0)
-        if cfg.layout == "cell":
+        if cfg.layout in ("cell", "split"):
             # one row per cell; corners packed [8, F] in _CORNERS order
+            rows_l = (cfg.level_table_rows[l] if cfg.layout == "split"
+                      else cfg.T)
             if cfg.level_hashed[l]:
                 cu = x0.astype(np.uint32)
                 row = (cu[:, 0] * np.uint32(_HASH_PRIMES[0])
                        ^ cu[:, 1] * np.uint32(_HASH_PRIMES[1])
                        ^ cu[:, 2] * np.uint32(_HASH_PRIMES[2]))
-                row = (row & np.uint32(cfg.T - 1)).astype(np.int64)
+                row = (row & np.uint32(rows_l - 1)).astype(np.int64)
             else:
                 row = x0[:, 0] + x0[:, 1] * n + x0[:, 2] * n * n
-            packed = tables[row + l * cfg.T].reshape(-1, 8, cfg.F)
+            if cfg.layout == "split":
+                packed = np.asarray(params["tables"][l])[row].reshape(
+                    -1, 8, cfg.F)
+            else:
+                packed = tables[row + l * cfg.T].reshape(-1, 8, cfg.F)
             for ci, off in enumerate(np.asarray(_CORNERS)):
                 w = np.prod(np.where(off > 0, frac, 1.0 - frac), axis=-1)
                 out[:, l * cfg.F:(l + 1) * cfg.F] += (
@@ -82,12 +89,12 @@ def test_level_layout():
     assert cfg.T == 256
 
 
-@pytest.mark.parametrize("layout", ["vertex", "cell"])
+@pytest.mark.parametrize("layout", ["vertex", "cell", "split"])
 def test_features_match_numpy_oracle(layout):
     cfg = _cfg(layout=layout)
     p = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
     # scale tables up so the comparison isn't vacuous at the 1e-4 init
-    p = {**p, "tables": p["tables"] * 1e4}
+    p = {**p, "tables": jax.tree.map(lambda t: t * 1e4, p["tables"])}
     pts = jax.random.uniform(jax.random.PRNGKey(1), (50, 3),
                              minval=-7.0, maxval=7.0)  # incl. out-of-AABB
     got = np.asarray(hashgrid_features(p, cfg, pts))
@@ -118,6 +125,106 @@ def test_cell_layout_gradients_hit_one_row_per_level():
     assert len(rows) <= cfg.L  # one touched row per level (collisions may
     #                            merge rows across levels' offsets — never
     #                            split them)
+
+
+def test_split_layout_per_level_tables_and_sizing():
+    """The split layout (the TPU-fast one — XLA scatter-add collapses with
+    table row count, benchmarks/scatter_probe2.py) stores one table per
+    level, with direct levels sized exactly N^3."""
+    cfg = _cfg(layout="split")
+    assert cfg.level_table_rows == (64, 256, 256, 256)  # 4^3 direct, then T
+    p = init_hashgrid_params(jax.random.PRNGKey(0), cfg)
+    assert isinstance(p["tables"], list) and len(p["tables"]) == cfg.L
+    for t, rows in zip(p["tables"], cfg.level_table_rows):
+        assert t.shape == (rows, 8 * cfg.F)
+
+
+def test_split_matches_cell_on_direct_levels():
+    """Where every level indexes directly (n^3 <= T), split and cell share
+    identical index math — features must agree bit-for-bit once the same
+    rows are loaded."""
+    kw = dict(L=3, log2_T=19, F=2, base_res=4, max_res=16,
+              aabb_min=(-1.0,) * 3, aabb_max=(1.0,) * 3)
+    cfg_c = HashGridConfig(layout="cell", **kw)
+    cfg_s = HashGridConfig(layout="split", **kw)
+    pc = init_hashgrid_params(jax.random.PRNGKey(0), cfg_c)
+    ps = init_hashgrid_params(jax.random.PRNGKey(0), cfg_s)
+    ps = {**ps, "tables": [
+        pc["tables"][l * cfg_c.T:l * cfg_c.T + rows]
+        for l, rows in enumerate(cfg_s.level_table_rows)]}
+    x = jax.random.uniform(jax.random.PRNGKey(1), (200, 3),
+                           minval=-0.9, maxval=0.9)
+    np.testing.assert_array_equal(
+        np.asarray(hashgrid_features(pc, cfg_c, x)),
+        np.asarray(hashgrid_features(ps, cfg_s, x)))
+
+
+def test_split_gradients_flow_to_tables_and_pts():
+    cfg = _cfg(layout="split")
+    m = HashGrid.create(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 6, 3),
+                             minval=-4, maxval=4)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+    gp = jax.grad(
+        lambda w: apply_hashgrid(w, cfg, pts, dirs).sum())(m.params)
+    assert all(bool((jnp.abs(t) > 0).any()) for t in gp["tables"])
+    g = jax.grad(
+        lambda p: apply_hashgrid(m.params, cfg, p, dirs).sum())(pts)
+    assert bool(jnp.isfinite(g).all()) and bool((jnp.abs(g) > 0).any())
+
+
+def test_split_train_step_loss_decreases():
+    from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.train.step import make_fused_train_step
+
+    cfg = _cfg(layout="split")
+    H = W = 8
+    K = np.array([[8.0, 0, 4], [0, 8, 4], [0, 0, 1]])
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32)[:3, :4].copy())
+    spec = PixelSamplerSpec.from_K(H, W, K, N_rand=32, single_image=True)
+    st = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
+                            lrate=5e-3, lrate_decay=250)
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                      perturb=1.0, white_bkgd=True, use_viewdirs=True)
+    step = make_fused_train_step(rc, cfg, cfg, spec, inner_steps=4,
+                                 donate=False)
+    imgs = jnp.ones((2, H, W, 3)) * 0.5
+    poses = jnp.stack([c2w, c2w])
+    st, aux = step(st, imgs, poses, jax.random.PRNGKey(3))
+    l0 = float(aux["loss"])
+    for i in range(8):
+        st, aux = step(st, imgs, poses,
+                       jax.random.fold_in(jax.random.PRNGKey(4), i))
+    assert float(aux["loss"]) < 0.2 * l0
+
+
+def test_split_checkpoint_roundtrip(tmp_path):
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.utils import checkpoints as C
+
+    cfg = _cfg(layout="split")
+    st = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
+                            lrate=5e-3, lrate_decay=250, grid_lrate=2e-2)
+    g = jax.tree.map(jnp.ones_like, st.params)
+    st = st.apply_gradients(g)
+    C.save_checkpoints(str(tmp_path), "exp", st, 1, fmt="native")
+    st_new = create_train_state(jax.random.PRNGKey(7), cfg, cfg,
+                                lrate=5e-3, lrate_decay=250,
+                                grid_lrate=2e-2)
+
+    class _Args:
+        basedir = str(tmp_path)
+        expname = "exp"
+        ft_path = None
+        no_reload = False
+        checkpoint_index = None
+
+    st_loaded, step = C.load_checkpoint(st_new, _Args())
+    assert step == 1
+    for a, b in zip(jax.tree.leaves(st.params),
+                    jax.tree.leaves(st_loaded.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
 def test_corner_exactness_direct_level():
