@@ -91,17 +91,26 @@ def main():
                          "split and --tv TV smoothness (triplane only)")
     ap.add_argument("--triplane_res", type=int, default=256)
     ap.add_argument("--triplane_feat", type=int, default=16)
+    ap.add_argument("--triplane_layout", type=str, default="vertex",
+                    choices=("vertex", "cell"),
+                    help="plane layout: 'cell' packs the 4 bilinear "
+                         "corners in one row -> 4x fewer gather/scatter "
+                         "rows on TPU (models/triplane.py docstring)")
     ap.add_argument("--hash_levels", type=int, default=16)
     ap.add_argument("--hash_log2_size", type=int, default=19)
+    ap.add_argument("--hash_feat", type=int, default=2)
     ap.add_argument("--hash_base_res", type=int, default=16)
     ap.add_argument("--hash_max_res", type=int, default=1024)
     ap.add_argument("--hash_hidden", type=int, default=64)
     ap.add_argument("--hash_layout", type=str, default="vertex",
-                    choices=("vertex", "cell"),
+                    choices=("vertex", "cell", "split"),
                     help="hash table layout: 'cell' packs the 8 corners in "
-                         "one row -> 8x fewer gather/scatter rows on TPU "
-                         "(models/hashgrid.py docstring); match params by "
-                         "dropping --hash_log2_size by 3")
+                         "one row -> 8x fewer gather/scatter rows on TPU; "
+                         "'split' additionally stores one table per level "
+                         "(the TPU-fast layout — XLA scatter-add collapses "
+                         "with table row count, models/hashgrid.py "
+                         "docstring); match params vs 'vertex' by dropping "
+                         "--hash_log2_size by 3")
     ap.add_argument("--tv", type=float, default=0.0)
     ap.add_argument("--upsample", type=str, default="",
                     help="triplane coarse-to-fine milestones 'step:G,...' "
@@ -149,6 +158,12 @@ def main():
     a = ap.parse_args()
     if a.cpu:
         jax.config.update("jax_platforms", "cpu")
+        # loud failure if a future module-level device-array constant in the
+        # project imports initializes the TPU backend before this runs
+        # (ADVICE r3) — the flag must never silently become a no-op
+        assert jax.default_backend() == "cpu", (
+            "--cpu requested but a JAX backend was already initialized; "
+            "move jax.config.update before the heavy project imports")
 
     if a.scene == "hard":
         from benchmarks.hard_scene import make_scene as make_hard
@@ -161,13 +176,14 @@ def main():
         from nerf_shared_tpu.models.triplane import TriplaneConfig
 
         cfg = TriplaneConfig(G=a.triplane_res, C=a.triplane_feat,
+                             layout=a.triplane_layout,
                              aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
         on_tpu = False  # Pallas kernels are MLP-family only; XLA autodiff
     elif a.model == "hashgrid":
         from nerf_shared_tpu.models.hashgrid import HashGridConfig
 
         cfg = HashGridConfig(L=a.hash_levels, log2_T=a.hash_log2_size,
-                             base_res=a.hash_base_res,
+                             F=a.hash_feat, base_res=a.hash_base_res,
                              max_res=a.hash_max_res, hidden=a.hash_hidden,
                              layout=a.hash_layout,
                              aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
@@ -175,6 +191,15 @@ def main():
     else:
         cfg = NeRFConfig(D=a.netdepth, W=a.netwidth, use_viewdirs=True,
                          multires=10, multires_views=4, skips=(4,))
+    # self-describing impl labels (ADVICE r3): hashgrid rows carry their
+    # layout/recipe so jsonl records stay comparable across recipe changes
+    model_tag = a.model
+    if a.model == "hashgrid":
+        model_tag = (f"hashgrid[{a.hash_layout},L{a.hash_levels},"
+                     f"T{a.hash_log2_size},F{a.hash_feat}]")
+    elif a.model == "triplane":
+        model_tag = (f"triplane[{a.triplane_layout},G{a.triplane_res},"
+                     f"C{a.triplane_feat}]")
     spec = PixelSamplerSpec.from_K(H, W, K, a.n_rand, single_image=True,
                                    precrop_iters=a.precrop_iters,
                                    precrop_frac=a.precrop_frac)
@@ -288,7 +313,7 @@ def main():
             wall = time.perf_counter() - t0
             rec = {"impl": ("proposal" if rcfg.proposal
                             else "hierarchical" if a.model == "nerf"
-                            else f"hierarchical_{a.model}")
+                            else f"hierarchical_{model_tag}")
                    + ("+ls" if ls is not None else ""),
                    "step": i + inner,
                    "wall_s": round(wall, 2),
@@ -341,7 +366,7 @@ def main():
     impl = ("occ_hybrid" if a.occ_until > 0
             else "occ_budget" if a.budget else "occ_gated")
     if a.model != "nerf":
-        impl = f"{impl}_{a.model}"
+        impl = f"{impl}_{model_tag}"
     hstep = None
     t0 = time.perf_counter()
     for i in range(0, a.steps, inner):

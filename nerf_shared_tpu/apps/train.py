@@ -140,6 +140,13 @@ def _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine):
 
 
 def run(args) -> None:
+    if getattr(args, "jax_backend", "default") != "default":
+        # must happen before any device query; the JAX_PLATFORMS env var
+        # alone is NOT honored under the axon TPU plugin (tests/conftest.py)
+        jax.config.update("jax_platforms", args.jax_backend)
+        assert jax.default_backend() == args.jax_backend, (
+            f"--jax_backend {args.jax_backend} requested but a JAX backend "
+            "was already initialized")
     if args.render_only:
         render_only(args)
         return

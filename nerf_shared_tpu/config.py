@@ -230,6 +230,20 @@ def config_parser() -> ConfigArgumentParser:
                         help='triplane: rgb decoder width')
     parser.add_argument("--triplane_depth", type=int, default=2,
                         help='triplane: rgb decoder layers')
+    parser.add_argument("--jax_backend", type=str, default="default",
+                        choices=["default", "cpu"],
+                        help="force a JAX backend for this run (cpu = "
+                             "debug/insurance runs while the TPU is busy; "
+                             "the JAX_PLATFORMS env var alone is not "
+                             "honored under the axon TPU plugin)")
+    parser.add_argument("--triplane_layout", type=str, default="vertex",
+                        choices=["vertex", "cell"],
+                        help='triplane plane layout: "vertex" = shared '
+                             'corners (4 gathered rows per point-plane); '
+                             '"cell" = packed corners [G, G, 4C], one row '
+                             'per point-plane — 4x fewer rows on TPU\'s '
+                             'issue-rate-bound gather/scatter '
+                             '(models/triplane.py docstring)')
     parser.add_argument("--triplane_aabb", type=float, default=0.0,
                         help='grid families (triplane AND hashgrid): scene '
                              'half-extent (cube). 0 = auto from the camera '

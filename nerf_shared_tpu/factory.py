@@ -66,6 +66,7 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
                 C=args.triplane_feat,
                 hidden=args.triplane_hidden,
                 depth=args.triplane_depth,
+                layout=getattr(args, "triplane_layout", "vertex"),
                 use_viewdirs=args.use_viewdirs,
                 multires_views=args.multires_views,
                 i_embed=args.i_embed,

@@ -58,6 +58,20 @@ class TriplaneConfig:
     sigma_bias: float = 0.1     # mildly opaque start: avoids the
                                 # white-background transparency trap the
                                 # MLP family needs warmup noise to escape
+    layout: str = "vertex"      # "vertex" = shared-corner planes
+                                # [3, G, G, C], 4 gathered rows per
+                                # point-plane (12 per point);
+                                # "cell" = packed corners [3, G, G, 4C],
+                                # ONE row per point-plane (3 per point) —
+                                # the TPU-fast layout: gather/scatter cost
+                                # is per ROW, nearly width-independent
+                                # (benchmarks/scatter_probe2.py), the same
+                                # measurement behind the hashgrid cell/
+                                # split layouts. The field becomes
+                                # bilinear-per-cell with C0 breaks at cell
+                                # faces (corners not tied); the summed
+                                # 3-plane features + decoder smooth this —
+                                # quality delta measured in BASELINE.md
 
     @property
     def views_embedder(self) -> EmbedderConfig:
@@ -71,9 +85,13 @@ class TriplaneConfig:
 
 def init_triplane_params(key: jax.Array, cfg: TriplaneConfig,
                          dtype=jnp.float32):
+    if cfg.layout not in ("vertex", "cell"):
+        raise ValueError(f"unknown triplane layout {cfg.layout!r} "
+                         "(expected 'vertex' or 'cell')")
     kp, ks, *kd = jax.random.split(key, 3 + cfg.depth)
+    width = cfg.C * (4 if cfg.layout == "cell" else 1)
     planes = 0.05 * jax.random.normal(
-        kp, (3, cfg.G, cfg.G, cfg.C), dtype=dtype)
+        kp, (3, cfg.G, cfg.G, width), dtype=dtype)
     params = {
         "planes": planes,
         "sigma": _linear_init(ks, cfg.C, 1, dtype),
@@ -110,11 +128,37 @@ def _sample_plane(plane: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray):
     return top * (1 - fa) + bot * fa
 
 
+def _sample_plane_packed(plane: jnp.ndarray, C: int,
+                         a: jnp.ndarray, b: jnp.ndarray):
+    """Bilinear sample of one packed-corner [G, G, 4C] plane at cell-grid
+    coords (a, b) in [0, G): ONE gathered row per point holding the cell's
+    4 corners as channel slots (00, 01, 10, 11), blended with static lane
+    slices — no minor-dim reshape (same layout note as the hashgrid cell
+    row, models/hashgrid.py)."""
+    G = plane.shape[0]
+    flat = plane.reshape(G * G, plane.shape[-1])
+    a0 = jnp.clip(jnp.floor(a).astype(jnp.int32), 0, G - 1)
+    b0 = jnp.clip(jnp.floor(b).astype(jnp.int32), 0, G - 1)
+    fa = jnp.clip(a - a0.astype(a.dtype), 0.0, 1.0)[..., None]
+    fb = jnp.clip(b - b0.astype(b.dtype), 0.0, 1.0)[..., None]
+    g = jnp.take(flat, a0 * G + b0, axis=0)        # [..., 4C]
+    top = g[..., 0 * C:1 * C] * (1 - fb) + g[..., 1 * C:2 * C] * fb
+    bot = g[..., 2 * C:3 * C] * (1 - fb) + g[..., 3 * C:4 * C] * fb
+    return top * (1 - fa) + bot * fa
+
+
 def triplane_features(params, cfg: TriplaneConfig, pts: jnp.ndarray):
     """pts [..., 3] -> summed plane features [..., C] (edge-clamped
     outside the AABB)."""
     lo = jnp.asarray(cfg.aabb_min, pts.dtype)
     hi = jnp.asarray(cfg.aabb_max, pts.dtype)
+    if cfg.layout == "cell":
+        u = (pts - lo) / (hi - lo) * cfg.G         # cell-grid coords
+        x, y, z = u[..., 0], u[..., 1], u[..., 2]
+        f = _sample_plane_packed(params["planes"][0], cfg.C, x, y)
+        f = f + _sample_plane_packed(params["planes"][1], cfg.C, x, z)
+        f = f + _sample_plane_packed(params["planes"][2], cfg.C, y, z)
+        return f
     u = (pts - lo) / (hi - lo) * cfg.G - 0.5   # cell-center coords
     x, y, z = u[..., 0], u[..., 1], u[..., 2]
     f = _sample_plane(params["planes"][0], x, y)
@@ -183,7 +227,12 @@ def upsample_triplane(params, cfg: TriplaneConfig, new_G: int):
 
     Returns (new_params, new_cfg). The caller must rebuild jitted steps
     (shapes are static under jit) and refresh the optimizer state for the
-    new plane shape (train/state.py:fresh_state_at)."""
+    new plane shape (train/state.py:fresh_state_at).
+
+    Packed-corner ("cell") planes resize the same way: each of the 4C
+    channel slots is an independent smooth field (the corner field sampled
+    at cell origins), so channel-wise bilinear resize is a value-preserving
+    coarse-to-fine init for them too."""
     planes = jax.image.resize(
         params["planes"], (3, new_G, new_G, params["planes"].shape[-1]),
         method="linear",

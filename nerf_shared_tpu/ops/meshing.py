@@ -121,11 +121,10 @@ def probe_density_grid(
     if mesh is None:
         sigma = jax.jit(sweep_local)(params, starts)
     else:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         axis = mesh.axis_names[0]
-        sweep = shard_map(
+        sweep = jax.shard_map(
             sweep_local, mesh=mesh,
             in_specs=(P(), P(axis)), out_specs=P(axis),
         )

@@ -43,6 +43,81 @@ def test_bilinear_matches_numpy():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_packed_bilinear_matches_numpy():
+    """The cell layout's one-row-per-point sampler (4 corners packed as
+    channel slots 00/01/10/11) against a numpy oracle."""
+    from nerf_shared_tpu.models.triplane import _sample_plane_packed
+
+    C = 4
+    plane = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (16, 16, 4 * C)))
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 16, (100,))
+    b = rng.uniform(0, 16, (100,))
+    got = np.asarray(_sample_plane_packed(
+        jnp.asarray(plane), C, jnp.asarray(a), jnp.asarray(b)))
+    a0 = np.clip(np.floor(a).astype(int), 0, 15)
+    b0 = np.clip(np.floor(b).astype(int), 0, 15)
+    fa = np.clip(a - a0, 0, 1)[:, None]
+    fb = np.clip(b - b0, 0, 1)[:, None]
+    g = plane[a0, b0]
+    want = (g[:, 0 * C:1 * C] * (1 - fa) * (1 - fb)
+            + g[:, 1 * C:2 * C] * (1 - fa) * fb
+            + g[:, 2 * C:3 * C] * fa * (1 - fb)
+            + g[:, 3 * C:4 * C] * fa * fb)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_layout_shapes_gradients_and_training():
+    """Cell layout end-to-end: [3, G, G, 4C] planes, grads reach planes
+    AND pts (pose estimation), fused train step reduces the loss."""
+    from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
+    from nerf_shared_tpu.train.state import create_train_state
+    from nerf_shared_tpu.train.step import make_fused_train_step
+
+    cfg = _cfg(layout="cell")
+    p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+    assert p["planes"].shape == (3, cfg.G, cfg.G, 4 * cfg.C)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 6, 3),
+                             minval=-4, maxval=4)
+    dirs = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+    gp = jax.grad(lambda w: apply_triplane(w, cfg, pts, dirs).sum())(p)
+    assert bool((jnp.abs(gp["planes"]) > 0).any())
+    g = jax.grad(lambda x: apply_triplane(p, cfg, x, dirs).sum())(pts)
+    assert bool(jnp.isfinite(g).all()) and bool((jnp.abs(g) > 0).any())
+
+    H = W = 8
+    K = np.array([[8.0, 0, 4], [0, 8, 4], [0, 0, 1]])
+    c2w = jnp.asarray(np.eye(4, dtype=np.float32)[:3, :4].copy())
+    spec = PixelSamplerSpec.from_K(H, W, K, N_rand=32, single_image=True)
+    st = create_train_state(jax.random.PRNGKey(0), cfg, cfg,
+                            lrate=5e-3, lrate_decay=250, grid_lrate=2e-2)
+    rc = RenderConfig(N_samples=8, N_importance=8, near=2.0, far=6.0,
+                      perturb=1.0, white_bkgd=True, use_viewdirs=True)
+    step = make_fused_train_step(rc, cfg, cfg, spec, inner_steps=4,
+                                 donate=False)
+    imgs = jnp.ones((2, H, W, 3)) * 0.5
+    poses = jnp.stack([c2w, c2w])
+    st, aux = step(st, imgs, poses, jax.random.PRNGKey(3))
+    l0 = float(aux["loss"])
+    for i in range(8):
+        st, aux = step(st, imgs, poses,
+                       jax.random.fold_in(jax.random.PRNGKey(4), i))
+    assert float(aux["loss"]) < 0.3 * l0
+
+
+def test_packed_upsample_roundtrip():
+    """Channel-wise bilinear upsample works on packed planes (each corner
+    slot is its own smooth field)."""
+    from nerf_shared_tpu.models.triplane import upsample_triplane
+
+    cfg = _cfg(layout="cell")
+    p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+    p2, cfg2 = upsample_triplane(p, cfg, 32)
+    assert p2["planes"].shape == (3, 32, 32, 4 * cfg.C)
+    assert cfg2.G == 32 and cfg2.layout == "cell"
+
+
 def test_apply_shapes_and_density_channel():
     cfg = _cfg()
     m = Triplane.create(jax.random.PRNGKey(0), cfg)
