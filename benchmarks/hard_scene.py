@@ -141,6 +141,29 @@ def render_gt(c2w, H, W, focal):
     return img.astype(np.float32)
 
 
+def render_gt_rgba(c2w, H, W, focal):
+    """Like render_gt but with a real coverage alpha channel (1 where any
+    surface was hit) — exercises the blender loader's RGBA alpha-composite
+    path the way real nerf_synthetic frames do (reference utils.py:255-258).
+    Background rgb is white, alpha 0; white_bkgd compositing reproduces
+    render_gt exactly."""
+    img = render_gt(c2w, H, W, focal)
+    # hit mask: recompute depth cheaply (same intersectors)
+    y, x = np.mgrid[:H, :W].astype(np.float32)
+    dirs = np.stack(
+        [(x - W / 2) / focal, -(y - H / 2) / focal, -np.ones_like(x)], -1
+    )
+    rd = dirs @ np.asarray(c2w)[:3, :3].T
+    rd = rd / np.linalg.norm(rd, axis=-1, keepdims=True)
+    ro = np.asarray(c2w)[:3, 3]
+    _, hit = _sphere_hit(ro, rd, SPH_C, SPH_R)
+    for a, b, r, _alb in RODS:
+        _, h, _ = _cylinder_hit(ro, rd, a, b, r)
+        hit = hit | h
+    alpha = hit.astype(np.float32)[..., None]
+    return np.concatenate([img, alpha], axis=-1)
+
+
 def _look_at(eye):
     fwd = eye / np.linalg.norm(eye)
     right = np.cross(np.array([0.0, 1.0, 0.0]), fwd)
@@ -184,8 +207,7 @@ def write_blender_dataset(out, size=400, n_train=40, n_val=2, n_test=5):
         frames = []
         for j, i in enumerate(idxs):
             rel = f"{split}/r_{j}"
-            rgba = np.concatenate(
-                [images[i], np.ones((H, W, 1), np.float32)], -1)
+            rgba = render_gt_rgba(poses[i], H, W, float(K[0, 0]))
             imageio.imwrite(os.path.join(out, rel + ".png"),
                             (rgba * 255).astype(np.uint8))
             pose = np.eye(4, dtype=np.float64)
@@ -196,6 +218,45 @@ def write_blender_dataset(out, size=400, n_train=40, n_val=2, n_test=5):
                 "frames": frames}
         with open(os.path.join(out, f"transforms_{split}.json"), "w") as f:
             json.dump(meta, f)
+    return out
+
+
+def write_llff_dataset(out, H=1512, W=2016, n=20, focal_mult=1.2):
+    """Write an LLFF-format dataset dir (poses_bounds.npy + images/)
+    loadable by data/llff.py — a forward-facing capture of the hard scene.
+
+    Disk pose convention matches real LLFF exports (reference
+    load_llff.py:62-66,250): rotation columns [down, right, back], an
+    [H, W, focal] fifth column, per-image [near, far] depth bounds. Our
+    NeRF-convention c2w has columns [right, up, back], so the disk columns
+    are [-up, right, back]. Default dims give the classic 504x378 at
+    --factor 4 (non-tile-divisible — the NDC tile-padding regression
+    class)."""
+    import imageio.v2 as imageio
+
+    rng = np.random.default_rng(23)
+    focal = W * focal_mult
+    imgdir = os.path.join(out, "images")
+    os.makedirs(imgdir, exist_ok=True)
+    rows = []
+    for i in range(n):
+        # jittered grid on a plane at z ~ 4, all looking at the origin
+        gx = (i % 5 - 2) * 0.35 + 0.08 * rng.standard_normal()
+        gy = (i // 5 - 1.5) * 0.3 + 0.08 * rng.standard_normal()
+        eye = np.array([gx, gy, 4.0 + 0.25 * rng.standard_normal()])
+        c2w = _look_at(eye)                       # [right, up, back | eye]
+        img = render_gt(c2w, H, W, focal)
+        imageio.imwrite(os.path.join(imgdir, f"image{i:03d}.png"),
+                        (img * 255).astype(np.uint8))
+        disk = np.stack(
+            [-c2w[:, 1], c2w[:, 0], c2w[:, 2], c2w[:, 3]], axis=1)
+        hwf = np.array([[H], [W], [focal]], np.float64)
+        d = np.linalg.norm(eye)
+        near, far = max(d - 1.8, 0.5), d + 1.8
+        rows.append(np.concatenate(
+            [np.concatenate([disk, hwf], axis=1).ravel(), [near, far]]))
+    np.save(os.path.join(out, "poses_bounds.npy"),
+            np.stack(rows).astype(np.float64))
     return out
 
 

@@ -71,6 +71,13 @@ def main():
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--n_rand", type=int, default=1024)
     ap.add_argument("--grid_res", type=int, default=64)
+    ap.add_argument("--occ_thresh", type=float, default=1e-3,
+                    help="binarize alpha threshold (--occ_alpha_thresh in "
+                         "the CLI). The softplus-density grid families "
+                         "(hashgrid/triplane) never reach exact zero "
+                         "density, so the MLP default can leave the grid "
+                         "un-pruned (occupied ~1.0) — raise it (~1e-2) "
+                         "for those rows")
     ap.add_argument("--candidates", type=int, default=64)
     ap.add_argument("--keep", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=2000)
@@ -102,6 +109,13 @@ def main():
     ap.add_argument("--hash_base_res", type=int, default=16)
     ap.add_argument("--hash_max_res", type=int, default=1024)
     ap.add_argument("--hash_hidden", type=int, default=64)
+    ap.add_argument("--hash_sigma_bias", type=float, default=0.1,
+                    help="initial softplus density floor. 0.1 is a safe "
+                         "hierarchical default; for the occ-gated trainer "
+                         "use ~0.01 — empty space starts AT the floor and "
+                         "unlearns it slowly, so a floor above the "
+                         "binarize threshold leaves the grid un-pruned "
+                         "(occupied ~1.0, measured)")
     ap.add_argument("--hash_layout", type=str, default="vertex",
                     choices=("vertex", "cell", "split"),
                     help="hash table layout: 'cell' packs the 8 corners in "
@@ -186,6 +200,7 @@ def main():
                              F=a.hash_feat, base_res=a.hash_base_res,
                              max_res=a.hash_max_res, hidden=a.hash_hidden,
                              layout=a.hash_layout,
+                             sigma_bias=a.hash_sigma_bias,
                              aabb_min=(-5.5,) * 3, aabb_max=(5.5,) * 3)
         on_tpu = False  # Pallas kernels are MLP-family only; XLA autodiff
     else:
@@ -196,7 +211,8 @@ def main():
     model_tag = a.model
     if a.model == "hashgrid":
         model_tag = (f"hashgrid[{a.hash_layout},L{a.hash_levels},"
-                     f"T{a.hash_log2_size},F{a.hash_feat}]")
+                     f"T{a.hash_log2_size},F{a.hash_feat},"
+                     f"b{a.hash_sigma_bias:g}]")
     elif a.model == "triplane":
         model_tag = (f"triplane[{a.triplane_layout},G{a.triplane_res},"
                      f"C{a.triplane_feat}]")
@@ -388,7 +404,8 @@ def main():
             occupied = None
         else:
             warm = i < a.warmup
-            occ = binarize_density_grid(dg, force_occupied=warm)
+            occ = binarize_density_grid(dg, alpha_threshold=a.occ_thresh,
+                                        force_occupied=warm)
             density = dg if (a.budget and not warm) else None
             state, aux = (ostep_warm if warm else ostep)(
                 state, occ, imgs_d, poses_d,

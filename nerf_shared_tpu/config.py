@@ -260,6 +260,13 @@ def config_parser() -> ConfigArgumentParser:
                         help='hashgrid: finest grid resolution')
     parser.add_argument("--hash_hidden", type=int, default=64,
                         help='hashgrid: decoder width (sigma + rgb nets)')
+    parser.add_argument("--hash_sigma_bias", type=float, default=0.1,
+                        help="hashgrid: initial softplus density floor. "
+                             "With --train_occ use ~0.01: empty space "
+                             "starts AT the floor and unlearns it slowly, "
+                             "so a floor above the binarize threshold "
+                             "(--occ_alpha_thresh) leaves the occupancy "
+                             "grid un-pruned")
     parser.add_argument("--hash_depth", type=int, default=3,
                         help='hashgrid: rgb decoder layers (incl. output)')
     parser.add_argument("--hash_layout", type=str, default="vertex",

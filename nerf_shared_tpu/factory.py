@@ -52,6 +52,7 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
                 hidden=getattr(args, "hash_hidden", 64),
                 rgb_depth=getattr(args, "hash_depth", 3),
                 layout=getattr(args, "hash_layout", "vertex"),
+                sigma_bias=getattr(args, "hash_sigma_bias", 0.1),
                 use_viewdirs=args.use_viewdirs,
                 multires_views=args.multires_views,
                 i_embed=args.i_embed,
