@@ -190,7 +190,10 @@ def main():
         # rows), and what it costs vs just raising K
         occ_presets = [(C, Kp, "sort") for C, Kp in
                        ((64, 16), (128, 32), (128, 64))]
-        fro_presets = [(64, 16, False), (64, 32, False)]
+        # froxel C=128/K=32: at 800p a tile spans half the world area it
+        # does at 400p, so per-tile bin unions are tighter — the preset
+        # that collapses at 400p is the 800p frontier candidate
+        fro_presets = [(64, 16, False), (64, 32, False), (128, 32, False)]
     else:
         occ_presets = [(128, 64, "sort"), (128, 32, "sort"),
                        (64, 16, "sort"), (64, 16, "weighted"),
