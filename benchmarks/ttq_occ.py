@@ -163,6 +163,13 @@ def main():
                     help="'hard' = the checkerboard+thin-rod stress scene "
                          "(benchmarks/hard_scene.py), the real-dataset "
                          "stand-in of the round-2 verdict")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="base PRNG seed: offsets the init/train/grid key "
+                         "roots together so repeated runs give independent "
+                         "trajectories (round-3 verdict item 7: close-call "
+                         "feature deltas need between-seed error bars). "
+                         "Rows with seed != 0 carry a ';s<seed>' impl "
+                         "suffix and a 'seed' field")
     ap.add_argument("--log", type=str, default="benchmarks/ttq_occ_log.jsonl")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/insurance runs while "
@@ -178,6 +185,14 @@ def main():
         assert jax.default_backend() == "cpu", (
             "--cpu requested but a JAX backend was already initialized; "
             "move jax.config.update before the heavy project imports")
+
+    # seed-offset PRNG roots (seed 0 reproduces all pre-seed-flag rows
+    # bit-for-bit: PRNGKey(0/1/2/9))
+    k_init = jax.random.PRNGKey(a.seed * 1000 + 0)
+    k_train = jax.random.PRNGKey(a.seed * 1000 + 1)
+    k_grid = jax.random.PRNGKey(a.seed * 1000 + 2)
+    k_compile = jax.random.PRNGKey(a.seed * 1000 + 9)
+    seed_tag = f";s{a.seed}" if a.seed else ""
 
     if a.scene == "hard":
         from benchmarks.hard_scene import make_scene as make_hard
@@ -257,7 +272,7 @@ def main():
             ls = LossSamplingSpec(frac=a.loss_frac)
 
         def _mk_state():
-            st = create_train_state(jax.random.PRNGKey(0), ccfg_h, cfg,
+            st = create_train_state(k_init, ccfg_h, cfg,
                                     lrate=5e-4, lrate_decay=250)
             if ls is not None:
                 st = st.replace(aux_state={"loss_map": init_loss_map(
@@ -276,7 +291,7 @@ def main():
         step_warm = make_fused_train_step(
             _dch.replace(rcfg, raw_noise_std=1.0), ccfg_h, cfg, spec,
             inner_steps=inner, donate=False, tv_reg=a.tv, loss_sampling=ls)
-        state, aux = step(state, imgs_d, poses_d, jax.random.PRNGKey(9))
+        state, aux = step(state, imgs_d, poses_d, k_compile)
         state = _mk_state()
         # triplane coarse-to-fine: "step:G,step:G" milestones — upsample
         # the planes, restart the optimizer at the continued schedule step
@@ -322,7 +337,7 @@ def main():
                 print(f"[UPSAMPLE] step {i}: planes -> {new_G}^2")
             state, aux = (step_warm if i < a.warmup else step)(
                 state, imgs_d, poses_d,
-                jax.random.fold_in(jax.random.PRNGKey(1), i))
+                jax.random.fold_in(k_train, i))
             float(aux["loss"])  # fence
             if (i + inner) % a.eval_every != 0:
                 continue
@@ -330,7 +345,7 @@ def main():
             rec = {"impl": ("proposal" if rcfg.proposal
                             else "hierarchical" if a.model == "nerf"
                             else f"hierarchical_{model_tag}")
-                   + ("+ls" if ls is not None else ""),
+                   + ("+ls" if ls is not None else "") + seed_tag,
                    "step": i + inner,
                    "wall_s": round(wall, 2),
                    "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
@@ -360,7 +375,7 @@ def main():
                           use_pallas=on_tpu)
     import dataclasses as _dc
 
-    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
+    state = create_train_state(k_init, cfg, cfg, lrate=5e-4,
                                lrate_decay=250)
     ostep = make_occ_train_step(rcfg_o, cfg, spec, n_candidates=a.candidates,
                                 n_keep=a.keep, inner_steps=inner,
@@ -372,17 +387,18 @@ def main():
     lo = np.array([-5.5, -5.5, -5.5]); hi = np.array([5.5, 5.5, 5.5])
     dg = init_density_grid(lo, hi, a.grid_res)
     occ = binarize_density_grid(dg)
-    st, _ = ostep(state, occ, imgs_d, poses_d, jax.random.PRNGKey(9))  # compile
+    st, _ = ostep(state, occ, imgs_d, poses_d, k_compile)  # compile
     dg2 = update_density_grid(dg, st.params["fine"], cfg, rcfg_o,
-                              jax.random.PRNGKey(9))   # compile
+                              k_compile)   # compile
     binarize_density_grid(dg2)
-    state = create_train_state(jax.random.PRNGKey(0), cfg, cfg, lrate=5e-4,
+    state = create_train_state(k_init, cfg, cfg, lrate=5e-4,
                                lrate_decay=250)
     dg = init_density_grid(lo, hi, a.grid_res)
     impl = ("occ_hybrid" if a.occ_until > 0
             else "occ_budget" if a.budget else "occ_gated")
     if a.model != "nerf":
         impl = f"{impl}_{model_tag}"
+    impl += seed_tag
     hstep = None
     t0 = time.perf_counter()
     for i in range(0, a.steps, inner):
@@ -400,7 +416,7 @@ def main():
                                               inner_steps=inner,
                                               donate=False)
             state, aux = hstep(state, imgs_d, poses_d,
-                               jax.random.fold_in(jax.random.PRNGKey(1), i))
+                               jax.random.fold_in(k_train, i))
             occupied = None
         else:
             warm = i < a.warmup
@@ -409,11 +425,11 @@ def main():
             density = dg if (a.budget and not warm) else None
             state, aux = (ostep_warm if warm else ostep)(
                 state, occ, imgs_d, poses_d,
-                jax.random.fold_in(jax.random.PRNGKey(1), i),
+                jax.random.fold_in(k_train, i),
                 density=density)
             dg = update_density_grid(
                 dg, state.params["fine"], cfg, rcfg_o,
-                jax.random.fold_in(jax.random.PRNGKey(2), i))
+                jax.random.fold_in(k_grid, i))
             occupied = round(float(jnp.mean(occ.grid.astype(jnp.float32))),
                              4)
         float(aux["loss"])  # fence (includes maintenance in the clock)
