@@ -247,7 +247,7 @@ def main():
     rcfg = RenderConfig(N_samples=64, N_importance=128, near=NEAR, far=FAR,
                         use_viewdirs=True, white_bkgd=True, perturb=1.0,
                         fused_backward=on_tpu, use_pallas=on_tpu,
-                        proposal=a.proposal and a.model == "nerf")
+                        proposal=a.proposal)
     # proposal row: density-only coarse (apps/train semantics) — the fine
     # net, sampler spec, and eval protocol are identical to the baseline
     ccfg_h = cfg
@@ -342,7 +342,8 @@ def main():
             if (i + inner) % a.eval_every != 0:
                 continue
             wall = time.perf_counter() - t0
-            rec = {"impl": ("proposal" if rcfg.proposal
+            rec = {"impl": (("proposal" if a.model == "nerf"
+                             else f"proposal_{model_tag}") if rcfg.proposal
                             else "hierarchical" if a.model == "nerf"
                             else f"hierarchical_{model_tag}")
                    + ("+ls" if ls is not None else "") + seed_tag,

@@ -22,10 +22,6 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
     matters when use_viewdirs=False, reference nerf.py:94)."""
     model_type = getattr(args, "model_type", "nerf")
     if model_type in ("triplane", "hashgrid"):
-        if getattr(args, "proposal", False):
-            raise ValueError(
-                "--proposal currently targets the MLP family; the grid "
-                "families' coarse branch is already cheap (shared features)")
         if (getattr(args, "dataset_type", "") == "llff"
                 and not getattr(args, "no_ndc", True)):
             # NDC scenes: the model is trained on NDC points, which live in
@@ -74,6 +70,29 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
                 aabb_min=aabb_min,
                 aabb_max=aabb_max,
             )
+        if getattr(args, "proposal", False):
+            # MIXED hierarchy: density-only proposal MLP coarse + grid fine.
+            # On TPU the grid families are gather/scatter ISSUE-RATE bound
+            # (models/hashgrid.py docstring) and the coarse pass is ~25% of
+            # the step's gathered/scattered rows (S=64 of 64+192 samples at
+            # the lego recipe) — a tiny dense-matmul proposal net removes
+            # those rows entirely, and the interlevel loss trains it to
+            # bound the fine histogram exactly as in the MLP family.
+            if args.N_importance <= 0:
+                raise ValueError(
+                    "--proposal replaces the hierarchical coarse branch and "
+                    "needs N_importance > 0")
+            pcfg = NeRFConfig(
+                D=int(getattr(args, "proposal_depth", 2)),
+                W=int(getattr(args, "proposal_width", 64)),
+                output_ch=4,
+                skips=(4,),
+                use_viewdirs=False,
+                multires=args.multires,
+                multires_views=args.multires_views,
+                i_embed=args.i_embed,
+            )
+            return pcfg, gcfg
         # same config for both branches: the hierarchy (when N_importance
         # > 0) importance-samples from an identical coarse grid model
         return gcfg, (gcfg if args.N_importance > 0 else None)

@@ -147,7 +147,13 @@ def create_train_state(
         from nerf_shared_tpu.train.appearance import init_appearance
 
         params["appearance"] = init_appearance(n_appearance)
-    if grid_lrate is None and not isinstance(coarse_cfg, NeRFConfig):
+    # grid families (triplane/hashgrid tables) need the fast grid lr in
+    # EITHER branch — e.g. a proposal hierarchy pairs an MLP coarse with a
+    # grid fine, and defaulting on the coarse alone would silently train
+    # the fine tables at the MLP lr (40x slower than the grid default)
+    grid_in_use = not isinstance(coarse_cfg, NeRFConfig) or (
+        fine_cfg is not None and not isinstance(fine_cfg, NeRFConfig))
+    if grid_lrate is None and grid_in_use:
         grid_lrate = 2e-2
     tx = make_optimizer(lrate, lrate_decay, grid_lrate=grid_lrate,
                         pose_lrate=pose_lrate if n_refine_poses > 0

@@ -464,8 +464,13 @@ def save_checkpoints(
     paths = []
     # the reference .tar schema is defined for the MLP family only
     # (state_dict names pts_linears/..., reference nerf.py:79-94); grid
-    # families have no torch counterpart to round-trip with
-    tar_able = "pts_linears" in params.get("coarse", {})
+    # families have no torch counterpart to round-trip with. BOTH branches
+    # must be MLPs: a mixed proposal hierarchy (MLP coarse + grid fine,
+    # factory.nerf_configs) has no .tar layout for its fine net either.
+    tar_able = all(
+        "pts_linears" in params[b]
+        for b in ("coarse", "fine") if b in params
+    ) and "coarse" in params
     if fmt == "tar" and not tar_able:
         raise ValueError(
             "torch .tar export is only defined for the 'nerf' model family "

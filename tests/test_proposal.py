@@ -223,9 +223,57 @@ def test_proposal_factory_wiring():
     with pytest.raises(ValueError, match="N_importance"):
         nerf_configs(bad)
 
+    # MIXED hierarchy (round 4): --proposal with a grid family builds the
+    # density-only MLP coarse + grid fine — on TPU the grid coarse pass is
+    # ~25% of the step's issue-rate-bound gather/scatter rows, and the
+    # proposal net replaces them with tiny dense matmuls (factory.py)
     tri = parser.parse_args([
         "--expname", "t", "--datadir", "d", "--proposal", "True",
         "--N_importance", "64", "--model_type", "triplane",
     ])
-    with pytest.raises(ValueError, match="MLP family"):
-        nerf_configs(tri)
+    ccfg_t, fcfg_t = nerf_configs(tri)
+    from nerf_shared_tpu.models.triplane import TriplaneConfig
+    assert isinstance(ccfg_t, NeRFConfig) and not ccfg_t.use_viewdirs
+    assert isinstance(fcfg_t, TriplaneConfig)
+
+    hg = parser.parse_args([
+        "--expname", "t", "--datadir", "d", "--proposal", "True",
+        "--N_importance", "64", "--model_type", "hashgrid",
+        "--hash_levels", "4",
+    ])
+    ccfg_h, fcfg_h = nerf_configs(hg)
+    from nerf_shared_tpu.models.hashgrid import HashGridConfig
+    assert isinstance(ccfg_h, NeRFConfig) and ccfg_h.output_ch == 4
+    assert isinstance(fcfg_h, HashGridConfig) and fcfg_h.L == 4
+
+    bad_mixed = parser.parse_args([
+        "--expname", "t", "--datadir", "d", "--proposal", "True",
+        "--N_importance", "0", "--model_type", "hashgrid",
+    ])
+    with pytest.raises(ValueError, match="N_importance"):
+        nerf_configs(bad_mixed)
+
+
+def test_mixed_hierarchy_grid_lrate_defaults():
+    """A proposal-MLP coarse + grid fine must still get the fast grid lr on
+    its table leaves (round-4 fix: the grid_lrate default keyed on the
+    coarse config alone). Behavioral check: Adam's first unit-grad update
+    magnitude equals the group lr."""
+    from nerf_shared_tpu.models.hashgrid import HashGridConfig
+
+    ccfg = NeRFConfig(D=2, W=16, output_ch=4, use_viewdirs=False,
+                      multires=4, multires_views=2, skips=(4,))
+    fcfg = HashGridConfig(L=2, log2_T=8, F=2, base_res=4, max_res=8,
+                          hidden=8, geo_feat=7, rgb_depth=2, layout="split")
+    state = create_train_state(jax.random.PRNGKey(0), ccfg, fcfg,
+                               lrate=5e-4, lrate_decay=250)
+    grads = jax.tree_util.tree_map(jnp.ones_like, state.params)
+    new_state = state.apply_gradients(grads)
+    d_table = float(jnp.abs(
+        new_state.params["fine"]["tables"][0]
+        - state.params["fine"]["tables"][0]).mean())
+    d_net = float(jnp.abs(
+        new_state.params["coarse"]["pts_linears"][0]["w"]
+        - state.params["coarse"]["pts_linears"][0]["w"]).mean())
+    assert d_table == pytest.approx(2e-2, rel=1e-3), d_table
+    assert d_net == pytest.approx(5e-4, rel=1e-3), d_net
