@@ -225,6 +225,40 @@ def main():
     except Exception as e:  # pragma: no cover - defensive
         print(f"# hashgrid secondary skipped: {e}")
 
+    # secondary: the MIXED proposal hierarchy for the hashgrid family
+    # (--proposal --model_type hashgrid, round 4): density-only 2x64 MLP
+    # coarse + hashgrid fine — removes the coarse pass's ~25% of the
+    # gather/scatter rows that bound the plain hierarchical hashgrid step.
+    hash_prop_rays_per_sec = None
+    try:
+      with _deadline(600):
+        from nerf_shared_tpu.models.hashgrid import HashGridConfig
+        import dataclasses as _dc
+
+        hcfg2 = HashGridConfig(layout="split", L=8, F=8, log2_T=14,
+                               aabb_min=(-4.5,) * 3, aabb_max=(4.5,) * 3)
+        ppcfg = NeRFConfig(D=2, W=64, output_ch=4, use_viewdirs=False,
+                           multires=10, multires_views=4, skips=(4,))
+        rcfg_hp = _dc.replace(rcfg, use_pallas=False, fused_backward=False,
+                              proposal=True)
+        hpstate = create_train_state(jax.random.PRNGKey(0), ppcfg, hcfg2,
+                                     lrate=5e-4, lrate_decay=500)
+        hpstep = make_fused_train_step(rcfg_hp, ppcfg, hcfg2, spec,
+                                       inner_steps=INNER)
+        hpstate, hpaux = hpstep(hpstate, images, poses,
+                                jax.random.fold_in(key, 600))
+        float(hpaux["loss"])
+        t0 = time.perf_counter()
+        for i in range(1, n_dispatch + 1):
+            hpstate, hpaux = hpstep(hpstate, images, poses,
+                                    jax.random.fold_in(key, 600 + i))
+        float(hpaux["loss"])
+        hash_prop_rays_per_sec = n_dispatch * INNER * N_RAND / (
+            time.perf_counter() - t0
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# hashgrid-proposal secondary skipped: {e}")
+
     # secondary: the proposal-sampler trainer (--proposal, mip-NeRF 360
     # style density-only coarse + interlevel loss — measured at equal
     # quality to hierarchical on the hard scene at every horizon,
@@ -271,6 +305,9 @@ def main():
     if hash_occ_rays_per_sec is not None:
         out["hashgrid_occ_rays_per_sec"] = round(hash_occ_rays_per_sec, 1)
         out["hashgrid_occ_recipe"] = HASH_RECIPE + "_occ64k32"
+    if hash_prop_rays_per_sec is not None:
+        out["hashgrid_prop_rays_per_sec"] = round(hash_prop_rays_per_sec, 1)
+        out["hashgrid_prop_recipe"] = HASH_RECIPE + "_prop2x64"
     if prop_rays_per_sec is not None:
         out["proposal_rays_per_sec"] = round(prop_rays_per_sec, 1)
     print(json.dumps(out))

@@ -16,6 +16,19 @@ q() { echo "[queue $(date -u +%H:%M:%S)] $*" >> /tmp/q.log; }
 
 q "r4c start"
 
+# c0: MIXED proposal hierarchy for the hashgrid family (round-4 feature:
+# density-only 2x64 MLP coarse + hashgrid fine) — removes the coarse
+# pass's 25% of issue-rate-bound gather/scatter rows. Quality + wall vs
+# the plain hierarchical hashgrid row (21.12 dB / 987 s @ T14).
+q "c0 proposal+hashgrid ttq (20k, split L8 F8 T14)"
+timeout 3000 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
+  --steps 20000 --eval_every 1000 --inner 250 --warmup 1000 \
+  --precrop_iters 500 --model hashgrid --hash_layout split \
+  --hash_levels 8 --hash_feat 8 --hash_log2_size 14 --hash_max_res 2048 \
+  --hash_sigma_bias 0.1 --proposal --skip_occ \
+  --log benchmarks/ttq_hard_hashgrid_prop.jsonl > /tmp/ttq_hash_prop.out 2>&1
+q "c0 done rc=$?"
+
 # c1: loss-guided pixel sampling, hierarchical 20k @ 400p (round-3 flags,
 # --inner 250 for tunnel-safe dispatches). Arms: uniform + ls, seeds 0-2.
 for seed in 0 1 2; do
