@@ -26,6 +26,11 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from nerf_shared_tpu.parallel import distributed
+import pytest
+
+# spawns a 2-process jax.distributed cluster (fresh backend inits)
+pytestmark = pytest.mark.slow
+
 
 distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                        num_processes=2, process_id=pid)

@@ -13,6 +13,10 @@ from nerf_shared_tpu.apps.train import render_only, run, train
 from nerf_shared_tpu.config import config_parser
 from nerf_shared_tpu.data.images import imwrite_u8
 
+# full CLI train->checkpoint->render slices (multi-minute on 1 core)
+pytestmark = [pytest.mark.e2e, pytest.mark.slow]
+
+
 
 def _write_scene(root, size=16, n_train=4, n_val=1, n_test=2):
     """A tiny blender-format scene: solid-color sphere-ish blob on black."""

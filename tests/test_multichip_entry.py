@@ -14,6 +14,10 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# 8-virtual-device dryrun compiles every sharded program
+pytestmark = pytest.mark.slow
+
+
 
 @pytest.mark.parametrize("n", [2, 3])
 def test_dryrun_multichip_small_meshes(n):

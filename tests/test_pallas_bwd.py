@@ -9,6 +9,10 @@ import pytest
 from nerf_shared_tpu.models.nerf import NeRFConfig, apply_nerf, init_nerf_params
 from nerf_shared_tpu.ops.pallas.fused_mlp_bwd import fused_train_op
 
+# interpret-mode fused-backward kernels (CPU emulation is slow)
+pytestmark = pytest.mark.slow
+
+
 
 def _grads_match(cfg, seed=0, n_rays=5, n_samp=7, rtol=2e-4, atol=2e-5):
     params = init_nerf_params(jax.random.PRNGKey(seed), cfg)

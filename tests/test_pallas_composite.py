@@ -5,6 +5,11 @@ import numpy as np
 
 from nerf_shared_tpu.ops.compositing import raw2outputs
 from nerf_shared_tpu.ops.pallas.composite import composite_fused
+import pytest
+
+# interpret-mode composite kernels (CPU emulation is slow)
+pytestmark = pytest.mark.slow
+
 
 
 def _case(R, S, seed=0, scale=2.0):

@@ -20,6 +20,10 @@ from nerf_shared_tpu.train.pipeline import PixelSamplerSpec
 from nerf_shared_tpu.train.state import create_train_state
 from nerf_shared_tpu.train.step import make_fused_train_step
 
+# end-to-end pose recovery optimizations (hundreds of jitted steps)
+pytestmark = pytest.mark.slow
+
+
 
 def test_perturbation_matrix_identity():
     np.testing.assert_allclose(perturbation_matrix(0, 0, 0, 0), np.eye(4))
