@@ -29,6 +29,19 @@ timeout 3000 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
   --log benchmarks/ttq_hard_hashgrid_prop.jsonl > /tmp/ttq_hash_prop.out 2>&1
 q "c0 done rc=$?"
 
+# c0b: hashgrid recipe probe — at 400p the scene pixel footprint is
+# ~0.028 world units while max_res=2048 cells are 0.0054 (subpixel) and
+# hashed at ~500k:1 collision rates; capping the ladder at 512 spends the
+# same L/T on resolvable scales. T16 already refuted more-capacity.
+q "c0b hashgrid max_res=512 hierarchical ttq (20k)"
+timeout 3000 python -u benchmarks/ttq_occ.py --scene hard --size 400 \
+  --steps 20000 --eval_every 1000 --inner 250 --warmup 1000 \
+  --precrop_iters 500 --model hashgrid --hash_layout split \
+  --hash_levels 8 --hash_feat 8 --hash_log2_size 14 --hash_max_res 512 \
+  --hash_sigma_bias 0.1 --skip_occ \
+  --log benchmarks/ttq_hard_hashgrid_r512.jsonl > /tmp/ttq_hash_r512.out 2>&1
+q "c0b done rc=$?"
+
 # c1: loss-guided pixel sampling, hierarchical 20k @ 400p (round-3 flags,
 # --inner 250 for tunnel-safe dispatches). Arms: uniform + ls, seeds 0-2.
 for seed in 0 1 2; do
