@@ -23,6 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 # Matmuls at fp32 everywhere so golden tests compare at fp32 accuracy; the
 # production precision policy is set explicitly in the train/render paths.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the suite compiles hundreds of XLA programs
+# and most are identical across runs — on the 1-core CI box the cache cuts
+# the fast tier's wall substantially after the first populate (results are
+# unaffected: the cache keys on the full HLO + config). Override the
+# location with JAX_TEST_CACHE_DIR; disable with JAX_TEST_CACHE_DIR=off.
+_cache = os.environ.get("JAX_TEST_CACHE_DIR", ".pytest_jax_cache")
+if _cache != "off":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -52,6 +52,7 @@ def _scene():
             jnp.asarray(poses[i_train][:, :3, :4]), K, H, W, NEAR, FAR)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_fused_trainer_recovers_injected_exposure():
     """Brighten train image 1 by a global 1.3x; the anchored gauge (image 0
     untouched) forces the field toward the canonical radiance and the

@@ -125,6 +125,7 @@ def _scene():
             jnp.asarray(poses[i_train][:, :3, :4]), K, H, W, NEAR, FAR)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_annealing_enables_joint_from_scratch_pose_recovery():
     """The experiment --barf_anneal exists for: joint pose+field training
     FROM SCRATCH (pose_start=0). Without annealing this scenario measured

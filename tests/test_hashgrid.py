@@ -423,6 +423,7 @@ def test_froxel_render_with_hashgrid():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_pose_gradients_through_hashgrid_render():
     from nerf_shared_tpu.apps.pose_estimation import (
         apply_pose,

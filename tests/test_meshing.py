@@ -335,6 +335,7 @@ def test_save_ply_with_colors(tmp_path):
 
 
 @pytest.mark.parametrize("family", ["nerf", "triplane"])
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_mesh_cli_end_to_end(tmp_path, family):
     """Train a tiny scene through the real CLI, then export its mesh through
     the mesh CLI (checkpoint load, AABB resolution, probe, export)."""

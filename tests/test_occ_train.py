@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nerf_shared_tpu.models.nerf import NeRFConfig
 from nerf_shared_tpu.render.occupancy import OccupancyGrid
@@ -144,6 +145,7 @@ def test_occ_step_rejects_keep_above_candidates():
         OT.make_occ_train_step(_rcfg(), cfg, spec, n_candidates=8, n_keep=16)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_occ_step_sharded():
     """The occ step under shard_map on the 8-device mesh: finite loss,
     advancing step counter."""
@@ -174,6 +176,7 @@ def test_occ_step_sharded():
     assert int(state.step) == 2
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_warmup_noise_breaks_init_gradient_trap():
     """At the torch-parity init, sigma is negative over the whole scene
     volume (relu gradient exactly zero), so the noiseless fine-only loss
@@ -248,6 +251,7 @@ def test_weighted_selection_concentrates_on_high_density():
         assert np.isin(np.round(sel, 5), np.round(z[r][occ2[r]], 5)).all()
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_budgeted_loss_and_step_run():
     """occ_nerf_loss + the production step accept a DensityGrid for
     budgeting: finite loss/grads, selection still valid."""

@@ -2,6 +2,7 @@
 then drive apps.pose_cli.main end-to-end (dataset -> checkpoint -> SIFT/
 random sampling -> jitted pose optimization -> error report)."""
 
+import pytest
 import os
 
 import numpy as np
@@ -13,6 +14,7 @@ from nerf_shared_tpu.config import config_parser
 from tests.test_e2e import _write_config, _write_scene
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_pose_cli_end_to_end(tmp_path):
     root = str(tmp_path)
     datadir = os.path.join(root, "scene")
@@ -43,6 +45,7 @@ def test_pose_cli_end_to_end(tmp_path):
     assert "rot_error_deg" in history[-1]
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_pose_cli_with_triplane_checkpoint(tmp_path):
     """Pose estimation drives the grid family too: train a triplane via the
     CLI, then optimize a perturbed pose against its frozen planes — the

@@ -99,6 +99,7 @@ def test_fused_step_trains_twists():
     assert float(jnp.abs(state.params["pose_twists"]).sum()) > 0.0
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_pose_recovery_on_perturbed_camera():
     """Perturb ONE camera's pose fed to training (targets keep the true
     geometry) and refine with the delayed start (--refine_poses_from):

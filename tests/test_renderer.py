@@ -152,6 +152,7 @@ def test_no_viewdirs_path():
     assert ret["rgb_map"].shape == (10, 3)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_render_gradients_wrt_params():
     coarse, fine = tiny_models()
     rcfg = RenderConfig(N_samples=6, N_importance=6, near=2.0, far=6.0)

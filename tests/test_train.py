@@ -1,6 +1,7 @@
 """Training-step tests: LR schedule parity, overfit smoke test, sharded step
 equivalence on the 8-device virtual CPU mesh (SURVEY.md §4 implications)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -242,6 +243,7 @@ def test_fused_step_sharded_and_scanned():
     assert np.isfinite(float(aux["loss"]))
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_remat_grads_match_non_remat():
     """jax.checkpoint rematerialization must not change gradients."""
     import dataclasses
@@ -265,6 +267,7 @@ def test_remat_grads_match_non_remat():
                                    rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow  # >15 s on the 1-core box (convergence/e2e-style)
 def test_acc_regularizer_drives_transparency():
     """With --acc_loss_weight the model must learn lower accumulated opacity
     than without, at comparable photometric loss (the enabler for gated
