@@ -281,7 +281,10 @@ def params_to_state_dict(params: Dict) -> Dict[str, "object"]:
         arr = np.asarray(flat[key])
         if name.endswith("weight"):
             arr = arr.T  # [in,out] -> [out,in]
-        sd[name] = torch.from_numpy(np.ascontiguousarray(arr))
+        # explicit copy: device_get arrays are non-writable and
+        # ascontiguousarray returns them as-is — torch.from_numpy then
+        # warns (and writing through the tensor would be UB)
+        sd[name] = torch.from_numpy(np.array(arr, copy=True, order="C"))
     return sd
 
 
@@ -354,8 +357,10 @@ def save_tar(
                     mu, nu = mu.T, nu.T
                 opt_sd["state"][idx] = {
                     "step": step_t,
-                    "exp_avg": torch.from_numpy(np.ascontiguousarray(mu)),
-                    "exp_avg_sq": torch.from_numpy(np.ascontiguousarray(nu)),
+                    "exp_avg": torch.from_numpy(
+                        np.array(mu, copy=True, order="C")),
+                    "exp_avg_sq": torch.from_numpy(
+                        np.array(nu, copy=True, order="C")),
                 }
                 pg_params.append(idx)
                 idx += 1
