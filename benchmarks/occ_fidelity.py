@@ -66,12 +66,15 @@ def main():
                          "scene at 400p)")
     ap.add_argument("--precrop_iters", type=int, default=0)
     ap.add_argument("--model", type=str, default="nerf",
-                    choices=("nerf", "triplane"),
+                    choices=("nerf", "triplane", "hashgrid"),
                     help="model family to train the scene with; the "
                          "occ/froxel fidelity question is about the GRID + "
                          "selection policy, so the CPU-feasible triplane "
                          "gives the same sweep when the TPU (needed for "
-                         "the 8x256 MLP) is unavailable")
+                         "the 8x256 MLP) is unavailable; hashgrid uses the "
+                         "measured TPU recipe (split L8/F8/T14, max_res "
+                         "512) — its ~50x-smaller decoder is the cheap-"
+                         "field answer to dense-render cost")
     ap.add_argument("--log", type=str, default=None,
                     help="append result JSON lines to this file")
     ap.add_argument("--fine", type=str, default="0",
@@ -107,6 +110,13 @@ def main():
         from nerf_shared_tpu.models.triplane import TriplaneConfig
 
         cfg = TriplaneConfig(G=128, C=16, aabb_min=(-5.5,) * 3,
+                             aabb_max=(5.5,) * 3)
+        fused = False  # grid family trains via XLA autodiff
+    elif a.model == "hashgrid":
+        from nerf_shared_tpu.models.hashgrid import HashGridConfig
+
+        cfg = HashGridConfig(layout="split", L=8, F=8, log2_T=14,
+                             max_res=512, aabb_min=(-5.5,) * 3,
                              aabb_max=(5.5,) * 3)
         fused = False  # grid family trains via XLA autodiff
     else:
