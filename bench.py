@@ -145,7 +145,11 @@ def main():
       with _deadline(600):
         from nerf_shared_tpu.models.triplane import TriplaneConfig
 
-        tcfg = TriplaneConfig(G=256, C=16, aabb_min=(-4.5,) * 3,
+        # measured TPU recipe (round 4): packed-corner "cell" layout —
+        # 3 gathered/scattered rows per point instead of 12 on the
+        # issue-rate-bound gather/scatter (1.7x the vertex layout)
+        tcfg = TriplaneConfig(G=256, C=16, layout="cell",
+                              aabb_min=(-4.5,) * 3,
                               aabb_max=(4.5,) * 3)
         import dataclasses as _dc
 
@@ -299,6 +303,7 @@ def main():
     }
     if tri_rays_per_sec is not None:
         out["triplane_rays_per_sec"] = round(tri_rays_per_sec, 1)
+        out["triplane_recipe"] = "cell_G256_C16"
     if hash_rays_per_sec is not None:
         out["hashgrid_rays_per_sec"] = round(hash_rays_per_sec, 1)
         out["hashgrid_recipe"] = HASH_RECIPE
