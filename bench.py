@@ -85,10 +85,12 @@ def main():
     assert int(state.step) == INNER
     float(aux["loss"])
 
-    # 3 windows of 10 dispatches; the headline is the BEST window. A single
-    # ~2 s window is exposed to tunnel-dispatch jitter — the r1->r3 "drift"
-    # (93.7k -> 92.3k, -1.5%) is the same order as between-window spread, so
-    # the windows are also reported verbatim to separate noise from real
+    # 3 windows of 10 dispatches; the headline is the MEDIAN window
+    # (best-of-3 biased the headline upward and broke comparability with
+    # the single-window r1-r3 rows — ADVICE r4). A single ~2 s window is
+    # exposed to tunnel-dispatch jitter — the r1->r3 "drift" (93.7k ->
+    # 92.3k, -1.5%) is the same order as between-window spread, so the
+    # windows are also reported verbatim to separate noise from real
     # regressions (round-3 verdict item 8).
     n_dispatch = 10
     windows = []
@@ -104,7 +106,7 @@ def main():
     assert final_step == (3 * n_dispatch + 1) * INNER
     assert np.isfinite(final_loss)
 
-    rays_per_sec = max(windows)
+    rays_per_sec = float(np.median(windows))
 
     # secondary: the occupancy-gated trainer (--train_occ, a different
     # estimator — see benchmarks/ttq_occ.py for the time-to-quality

@@ -182,9 +182,10 @@ def main():
         # loud failure if a future module-level device-array constant in the
         # project imports initializes the TPU backend before this runs
         # (ADVICE r3) — the flag must never silently become a no-op
-        assert jax.default_backend() == "cpu", (
-            "--cpu requested but a JAX backend was already initialized; "
-            "move jax.config.update before the heavy project imports")
+        if jax.default_backend() != "cpu":  # survives python -O (ADVICE r4)
+            raise RuntimeError(
+                "--cpu requested but a JAX backend was already initialized; "
+                "move jax.config.update before the heavy project imports")
 
     # seed-offset PRNG roots (seed 0 reproduces all pre-seed-flag rows
     # bit-for-bit: PRNGKey(0/1/2/9))

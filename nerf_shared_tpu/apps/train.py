@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nerf_shared_tpu.config import resolved_occ_alpha_thresh
 from nerf_shared_tpu.data.datasets import load_datasets
 from nerf_shared_tpu.factory import get_renderer, get_train_state, nerf_configs
 from nerf_shared_tpu.models.nerf import NeRF
@@ -130,7 +131,7 @@ def _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine):
     grid = build_occupancy_grid(
         model.params, model.cfg, renderer.cfg, lo, hi,
         resolution=args.occ_grid,
-        alpha_threshold=args.occ_alpha_thresh,
+        alpha_threshold=resolved_occ_alpha_thresh(args),
     )
     print(
         f"Occupancy grid {args.occ_grid}^3: "
@@ -144,9 +145,13 @@ def run(args) -> None:
         # must happen before any device query; the JAX_PLATFORMS env var
         # alone is NOT honored under the axon TPU plugin (tests/conftest.py)
         jax.config.update("jax_platforms", args.jax_backend)
-        assert jax.default_backend() == args.jax_backend, (
-            f"--jax_backend {args.jax_backend} requested but a JAX backend "
-            "was already initialized")
+        if jax.default_backend() != args.jax_backend:
+            # not an assert: under `python -O` an assert is stripped and
+            # the flag would silently no-op on an already-initialized
+            # backend (advisor finding, round 4)
+            raise RuntimeError(
+                f"--jax_backend {args.jax_backend} requested but a JAX "
+                "backend was already initialized")
     if args.render_only:
         render_only(args)
         return
@@ -178,6 +183,16 @@ def train(args):
         distributed.initialize()
     ds = load_datasets(args)
     H, W, focal = ds.hwf
+    # measured-footgun guardrails (config.recipe_warnings): surfaced loudly
+    # at startup AND through the warnings machinery so tests can assert
+    import warnings as _warnings
+
+    from nerf_shared_tpu.config import recipe_warnings
+
+    for _msg in recipe_warnings(args, n_train_views=len(ds.i_train),
+                                render_h=H):
+        _warnings.warn(_msg, UserWarning, stacklevel=2)
+        print(f"[RECIPE WARNING] {_msg}")
     copy_log_dir(args)
     tb_writer = make_tb_writer(args)
 
@@ -302,10 +317,20 @@ def train(args):
     # backward re-runs the jnp twin), so it is cleared here.
     import dataclasses as _dc
 
-    fused_bwd = bool(getattr(args, "fused_backward", False)) and (
+    _fb = getattr(args, "fused_backward", None)
+    if _fb is None:
+        # auto (round-5 default): the fused Pallas fwd+bwd kernel is
+        # parity-validated vs the torch reference at every measured
+        # horizon (BASELINE.md 5k/15k/30k/200k rows) and ~1.7x faster,
+        # so the shipped CLI gets the benchmarked path out of the box.
+        _fb = True
+    fused_bwd = bool(_fb) and (
         jax.default_backend() == "tpu"
     ) and getattr(args, "model_type", "nerf") == "nerf"  # Pallas kernels
     # are MLP-family only; grid families train through XLA autodiff
+    if fused_bwd:
+        print("train path: fused Pallas fwd+bwd (auto; "
+              "--fused_backward false for XLA autodiff)")
     rcfg = _dc.replace(
         renderer.cfg, use_pallas=False, fused_backward=fused_bwd
     )
@@ -376,7 +401,7 @@ def train(args):
         def step_fn(st, images, poses, key):
             warm = int(jax.device_get(st.step)) < args.train_occ_warmup
             occ_b = binarize_density_grid(
-                _dg["dg"], alpha_threshold=args.occ_alpha_thresh,
+                _dg["dg"], alpha_threshold=resolved_occ_alpha_thresh(args),
                 force_occupied=warm,
             )
             density = _dg["dg"] if (occ_budget and not warm) else None
@@ -447,7 +472,7 @@ def train(args):
         occ_maint = OccupancyMaintainer(
             renderer.cfg, fcfg, lo, hi,
             resolution=args.occ_grid,
-            alpha_threshold=args.occ_alpha_thresh,
+            alpha_threshold=resolved_occ_alpha_thresh(args),
         )
 
     def _occ_for(state, step):
@@ -463,7 +488,7 @@ def train(args):
             from nerf_shared_tpu.train.occ_train import binarize_density_grid
 
             return binarize_density_grid(
-                _dg["dg"], alpha_threshold=args.occ_alpha_thresh,
+                _dg["dg"], alpha_threshold=resolved_occ_alpha_thresh(args),
                 force_occupied=step < args.train_occ_warmup,
             )
         return None
@@ -659,7 +684,7 @@ def train(args):
                 occ_maint = OccupancyMaintainer(
                     renderer.cfg, fcfg, lo_m, hi_m,
                     resolution=args.occ_grid,
-                    alpha_threshold=args.occ_alpha_thresh,
+                    alpha_threshold=resolved_occ_alpha_thresh(args),
                 )
             print(f"[UPSAMPLE] step {i - 1}: planes -> {new_G}^2 "
                   "(optimizer restarted at the continued schedule)")

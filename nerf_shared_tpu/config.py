@@ -260,13 +260,14 @@ def config_parser() -> ConfigArgumentParser:
                         help='hashgrid: finest grid resolution')
     parser.add_argument("--hash_hidden", type=int, default=64,
                         help='hashgrid: decoder width (sigma + rgb nets)')
-    parser.add_argument("--hash_sigma_bias", type=float, default=0.1,
+    parser.add_argument("--hash_sigma_bias", type=float, default=None,
                         help="hashgrid: initial softplus density floor. "
-                             "With --train_occ use ~0.01: empty space "
-                             "starts AT the floor and unlearns it slowly, "
-                             "so a floor above the binarize threshold "
-                             "(--occ_alpha_thresh) leaves the occupancy "
-                             "grid un-pruned")
+                             "Default: auto — 0.1, but 0.01 under "
+                             "--train_occ (measured, BASELINE.md r4: a "
+                             "0.1 floor sits above the binarize threshold "
+                             "so empty space never unlearns it and the "
+                             "occupancy grid stays 100%% occupied — the "
+                             "trainer silently loses its entire speedup)")
     parser.add_argument("--hash_depth", type=int, default=3,
                         help='hashgrid: rgb decoder layers (incl. output)')
     parser.add_argument("--hash_layout", type=str, default="vertex",
@@ -427,10 +428,14 @@ def config_parser() -> ConfigArgumentParser:
                              'this resolution (e.g. 128) from the trained '
                              'density field and evaluate the network only '
                              'at grid-occupied sample points (0 = off)')
-    parser.add_argument("--occ_alpha_thresh", type=float, default=1e-3,
+    parser.add_argument("--occ_alpha_thresh", type=float, default=None,
                         help='occupancy-grid build threshold: cells whose '
                              'one-cell-crossing alpha stays below this are '
-                             'treated as empty')
+                             'treated as empty. Default: auto — 1e-3, but '
+                             '1e-2 for --model_type hashgrid (whose '
+                             'softplus density floor keeps empty space at '
+                             'a small positive sigma; 1e-3 never prunes '
+                             'there — measured, BASELINE.md r4)')
     parser.add_argument("--occ_candidates", type=int, default=128,
                         help='candidate depths per ray triaged through the '
                              'occupancy grid before network evaluation')
@@ -522,10 +527,15 @@ def config_parser() -> ConfigArgumentParser:
                         help='probe at most this many random grid cells '
                              'per density refresh (0 = whole grid); the '
                              'scaling valve for grids above 64^3')
-    parser.add_argument("--fused_backward", type=_str2bool, default=False,
+    parser.add_argument("--fused_backward", type=_str2bool, default=None,
                         help='train with the fully fused Pallas forward+'
                              'backward kernel (fp32, in-kernel remat; '
-                             '~1.7x step throughput on v5e). TPU only.')
+                             '~1.7x step throughput on v5e). TPU only. '
+                             'Default: auto — ON for the MLP family on '
+                             'TPU (parity-validated vs the torch '
+                             'reference at 5k/15k/30k/200k, BASELINE.md), '
+                             'OFF elsewhere; pass an explicit true/false '
+                             'to override.')
     parser.add_argument("--remat", type=_str2bool, default=False,
                         help='rematerialize MLP activations in backward '
                              '(jax.checkpoint) to train much larger ray '
@@ -543,3 +553,88 @@ def config_parser() -> ConfigArgumentParser:
                              'cluster env vars) and build the mesh over ALL '
                              "hosts' devices; a no-op on a single host")
     return parser
+
+
+# ---------------------------------------------------------------------------
+# Recipe guardrails (round-5 verdict item 5): the measured footguns of
+# BASELINE.md rounds 3-4, encoded where users actually hit them instead of
+# in benchmark prose. Two mechanisms:
+#   * estimator-aware RESOLVED DEFAULTS for flags whose good value depends
+#     on the trainer (sentinel default None in config_parser above);
+#   * recipe_warnings(), called by apps/train.run once the dataset is
+#     loaded, returning human-readable warnings for combinations that were
+#     MEASURED to silently lose quality or throughput.
+# Tests: tests/test_config.py::test_recipe_*
+# ---------------------------------------------------------------------------
+
+def resolved_hash_sigma_bias(args) -> float:
+    """--hash_sigma_bias auto default: 0.01 under --train_occ (a 0.1
+    softplus floor sits above the occupancy binarize threshold, the grid
+    never prunes, and the occ trainer silently loses its speedup —
+    BASELINE.md r4 'honest negative'), else the NGP-ish 0.1."""
+    v = getattr(args, "hash_sigma_bias", None)
+    if v is not None:
+        return float(v)
+    return 0.01 if getattr(args, "train_occ", False) else 0.1
+
+
+def resolved_occ_alpha_thresh(args) -> float:
+    """--occ_alpha_thresh auto default: 1e-2 for the hashgrid family
+    (its softplus density floor keeps empty space at small positive sigma,
+    so 1e-3 never prunes — BASELINE.md r4), else 1e-3."""
+    v = getattr(args, "occ_alpha_thresh", None)
+    if v is not None:
+        return float(v)
+    return (1e-2 if getattr(args, "model_type", "nerf") == "hashgrid"
+            else 1e-3)
+
+
+def recipe_warnings(args, n_train_views=None, render_h=None):
+    """Warnings for flag combinations MEASURED to be bad (each cites its
+    BASELINE.md row). Returns a list of strings; the caller decides how
+    loudly to surface them (apps/train.run uses warnings.warn + print)."""
+    out = []
+    model = getattr(args, "model_type", "nerf")
+    train_occ = bool(getattr(args, "train_occ", False))
+    if model == "hashgrid":
+        max_res = int(getattr(args, "hash_max_res", 2048))
+        if train_occ and max_res < 1024:
+            out.append(
+                f"--train_occ with --hash_max_res {max_res}: the "
+                "render-resolution ladder fit helps the HIERARCHICAL "
+                "estimator but starves the occ trainer — coarse top "
+                "levels keep ambient density high, the grid never prunes, "
+                "and quality collapses (measured 15.77 dB @ 200k vs 18.9 "
+                "dB @ 20k with max_res 2048 — BASELINE.md r4). Keep the "
+                "full NGP ladder (--hash_max_res 2048) for --train_occ.")
+        if (not train_occ and render_h and
+                max_res > 2 * int(render_h)):
+            out.append(
+                f"hierarchical/proposal hashgrid at {render_h}p with "
+                f"--hash_max_res {max_res}: levels finer than the render "
+                "resolution are subpixel AND heavily hash-collided; "
+                "capping the ladder near the render resolution "
+                f"(--hash_max_res {int(render_h) + (-int(render_h)) % 128}) "
+                "measured +0.37 dB at equal wall (BASELINE.md r4 "
+                "ladder-fit probe).")
+        sb = resolved_hash_sigma_bias(args)
+        if train_occ and sb > 2.0 * resolved_occ_alpha_thresh(args):
+            out.append(
+                f"--train_occ with hash_sigma_bias {sb:g} above ~2x the "
+                f"occupancy threshold {resolved_occ_alpha_thresh(args):g}: "
+                "empty space starts AT the floor and unlearns it slowly, "
+                "so the grid may stay ~100% occupied and the occ trainer "
+                "loses its speedup (BASELINE.md r4). Use ~0.01, or raise "
+                "--occ_alpha_thresh.")
+    if (bool(getattr(args, "loss_sampling", False))
+            and int(getattr(args, "N_iters", 0)) > 100_000
+            and n_train_views is not None and int(n_train_views) < 20):
+        out.append(
+            f"--loss_sampling over a {int(getattr(args, 'N_iters', 0)):,}"
+            f"-step schedule on a {int(n_train_views)}-view dataset: the "
+            "error-EMA map amplifies the few-view overfit drift past "
+            "~100k steps (measured: final 21.74 dB vs 23.05 uniform at "
+            "200k, while PEAK quality arrives 2.5x sooner — BASELINE.md "
+            "r4). Either stop near the peak (~30-50k) or disable "
+            "--loss_sampling for long schedules on few-view scenes.")
+    return out

@@ -11,6 +11,7 @@ from typing import Optional, Tuple
 
 import jax
 
+from nerf_shared_tpu.config import resolved_hash_sigma_bias
 from nerf_shared_tpu.models.nerf import NeRF, NeRFConfig
 from nerf_shared_tpu.render.renderer import Renderer
 from nerf_shared_tpu.train.state import TrainState, create_train_state
@@ -48,7 +49,7 @@ def nerf_configs(args) -> Tuple[NeRFConfig, Optional[NeRFConfig]]:
                 hidden=getattr(args, "hash_hidden", 64),
                 rgb_depth=getattr(args, "hash_depth", 3),
                 layout=getattr(args, "hash_layout", "vertex"),
-                sigma_bias=getattr(args, "hash_sigma_bias", 0.1),
+                sigma_bias=resolved_hash_sigma_bias(args),
                 use_viewdirs=args.use_viewdirs,
                 multires_views=args.multires_views,
                 i_embed=args.i_embed,

@@ -229,14 +229,56 @@ def upsample_triplane(params, cfg: TriplaneConfig, new_G: int):
     (shapes are static under jit) and refresh the optimizer state for the
     new plane shape (train/state.py:fresh_state_at).
 
-    Packed-corner ("cell") planes resize the same way: each of the 4C
-    channel slots is an independent smooth field (the corner field sampled
-    at cell origins), so channel-wise bilinear resize is a value-preserving
-    coarse-to-fine init for them too."""
-    planes = jax.image.resize(
-        params["planes"], (3, new_G, new_G, params["planes"].shape[-1]),
-        method="linear",
-    )
+    Packed-corner ("cell") planes can NOT be resized channel-wise: slot k
+    of cell (i, j) stores the value at a VERTEX of that cell, so the 4C
+    slots are the same field at 4 staggered offsets — naive channel-wise
+    resize leaves each new cell's slots spanning an old-cell extent,
+    compressing the reconstructed field by the scale factor (advisor
+    finding, round 4). Instead: unpack the slots onto the (G+1)x(G+1)
+    shared vertex grid (averaging the duplicated corners), resize THAT
+    with an align-corners separable bilinear (two small matmuls — exact
+    interpolation of the represented bilinear field, hence
+    value-preserving), and repack the 4 corner slots of each new cell."""
+    if cfg.layout == "cell":
+        G, C = cfg.G, cfg.C
+
+        def _resize_w(n_old: int, n_new: int, dtype):
+            # align-corners bilinear weights [n_new, n_old]: new vertex j
+            # sits at old lattice coord j*(n_old-1)/(n_new-1)
+            t = jnp.linspace(0.0, n_old - 1.0, n_new, dtype=dtype)
+            i0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n_old - 2)
+            f = t - i0.astype(dtype)
+            w = jnp.zeros((n_new, n_old), dtype)
+            rows = jnp.arange(n_new)
+            w = w.at[rows, i0].add(1.0 - f)
+            w = w.at[rows, i0 + 1].add(f)
+            return w
+
+        def _one(plane):                       # [G, G, 4C] -> new packed
+            c00 = plane[..., 0 * C:1 * C]      # vertex (i, j)
+            c01 = plane[..., 1 * C:2 * C]      # vertex (i, j+1)
+            c10 = plane[..., 2 * C:3 * C]      # vertex (i+1, j)
+            c11 = plane[..., 3 * C:4 * C]      # vertex (i+1, j+1)
+            v = jnp.zeros((G + 1, G + 1, C), plane.dtype)
+            n = jnp.zeros((G + 1, G + 1, 1), plane.dtype)
+            one = jnp.ones((G, G, 1), plane.dtype)
+            v = v.at[:G, :G].add(c00);   n = n.at[:G, :G].add(one)
+            v = v.at[:G, 1:].add(c01);   n = n.at[:G, 1:].add(one)
+            v = v.at[1:, :G].add(c10);   n = n.at[1:, :G].add(one)
+            v = v.at[1:, 1:].add(c11);   n = n.at[1:, 1:].add(one)
+            v = v / n
+            w = _resize_w(G + 1, new_G + 1, plane.dtype)
+            v2 = jnp.einsum("ai,ijc,bj->abc", w, v, w)
+            return jnp.concatenate(
+                [v2[:new_G, :new_G], v2[:new_G, 1:],
+                 v2[1:, :new_G], v2[1:, 1:]], axis=-1)
+
+        planes = jax.vmap(_one)(params["planes"])
+    else:
+        planes = jax.image.resize(
+            params["planes"], (3, new_G, new_G, params["planes"].shape[-1]),
+            method="linear",
+        )
     new_params = dict(params)
     new_params["planes"] = planes
     return new_params, dataclasses.replace(cfg, G=new_G)

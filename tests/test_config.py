@@ -134,3 +134,69 @@ def test_save_checkpoints_rejects_unknown_format(tmp_path):
     state = create_train_state(jax.random.PRNGKey(0), ccfg, None)
     with pytest.raises(ValueError, match="unknown checkpoint format"):
         save_checkpoints(str(tmp_path), "e", state, 0, fmt="npz")
+
+
+def test_recipe_resolved_defaults():
+    """Estimator-aware auto defaults (round-5 guardrails): the hashgrid occ
+    trainer gets a prunable density floor and binarize threshold out of the
+    box (BASELINE.md r4: the 0.1/1e-3 combo left the grid 100% occupied)."""
+    from nerf_shared_tpu.config import (
+        config_parser, resolved_hash_sigma_bias, resolved_occ_alpha_thresh)
+
+    base = ["--expname", "x", "--datadir", "y"]
+    a = config_parser().parse_args(base)
+    assert resolved_hash_sigma_bias(a) == 0.1
+    assert resolved_occ_alpha_thresh(a) == 1e-3
+
+    a = config_parser().parse_args(
+        base + ["--model_type", "hashgrid", "--train_occ", "true"])
+    assert resolved_hash_sigma_bias(a) == 0.01
+    assert resolved_occ_alpha_thresh(a) == 1e-2
+
+    # explicit values always win over auto
+    a = config_parser().parse_args(
+        base + ["--model_type", "hashgrid", "--train_occ", "true",
+                "--hash_sigma_bias", "0.2", "--occ_alpha_thresh", "5e-4"])
+    assert resolved_hash_sigma_bias(a) == 0.2
+    assert resolved_occ_alpha_thresh(a) == 5e-4
+
+
+def test_recipe_warnings_fire_on_measured_footguns():
+    from nerf_shared_tpu.config import config_parser, recipe_warnings
+
+    base = ["--expname", "x", "--datadir", "y"]
+
+    # occ trainer + render-res ladder: measured 15.77 dB collapse (r4)
+    a = config_parser().parse_args(
+        base + ["--model_type", "hashgrid", "--train_occ", "true",
+                "--hash_max_res", "512"])
+    msgs = recipe_warnings(a, n_train_views=100, render_h=400)
+    assert any("never prunes" in m for m in msgs)
+
+    # hierarchical hashgrid with a subpixel ladder: +0.37 dB fix suggested
+    a = config_parser().parse_args(base + ["--model_type", "hashgrid"])
+    msgs = recipe_warnings(a, n_train_views=100, render_h=400)
+    assert any("ladder" in m for m in msgs)
+
+    # un-prunable sigma floor under --train_occ
+    a = config_parser().parse_args(
+        base + ["--model_type", "hashgrid", "--train_occ", "true",
+                "--hash_sigma_bias", "0.1"])
+    msgs = recipe_warnings(a, n_train_views=100, render_h=400)
+    assert any("floor" in m for m in msgs)
+
+    # loss sampling on a long schedule over a few-view dataset
+    a = config_parser().parse_args(
+        base + ["--loss_sampling", "true", "--N_iters", "200000"])
+    msgs = recipe_warnings(a, n_train_views=12, render_h=400)
+    assert any("overfit" in m for m in msgs)
+    # many views: fine
+    assert recipe_warnings(a, n_train_views=100, render_h=400) == []
+
+    # the recommended recipes stay silent
+    a = config_parser().parse_args(
+        base + ["--model_type", "hashgrid", "--train_occ", "true"])
+    assert recipe_warnings(a, n_train_views=100, render_h=400) == []
+    a = config_parser().parse_args(
+        base + ["--model_type", "hashgrid", "--hash_max_res", "512"])
+    assert recipe_warnings(a, n_train_views=100, render_h=400) == []

@@ -107,15 +107,32 @@ def test_packed_layout_shapes_gradients_and_training():
 
 
 def test_packed_upsample_roundtrip():
-    """Channel-wise bilinear upsample works on packed planes (each corner
-    slot is its own smooth field)."""
-    from nerf_shared_tpu.models.triplane import upsample_triplane
+    """Cell-layout upsample unpacks to the shared vertex grid, resizes it
+    align-corners, and repacks — shapes are right AND the represented
+    field is preserved EXACTLY for a corner-consistent packing (advisor
+    finding r4: channel-wise resize compressed the field by the scale
+    factor; this pins the fix)."""
+    from nerf_shared_tpu.models.triplane import (
+        triplane_features, upsample_triplane)
 
     cfg = _cfg(layout="cell")
+    G, C = cfg.G, cfg.C
+    # corner-consistent packing: all 4 slots of every cell read one smooth
+    # vertex field v[i, j] (what training converges toward)
+    v = jax.random.normal(jax.random.PRNGKey(3), (3, G + 1, G + 1, C))
+    planes = jnp.concatenate(
+        [v[:, :G, :G], v[:, :G, 1:], v[:, 1:, :G], v[:, 1:, 1:]], axis=-1)
     p = init_triplane_params(jax.random.PRNGKey(0), cfg)
+    p = dict(p, planes=planes)
     p2, cfg2 = upsample_triplane(p, cfg, 32)
     assert p2["planes"].shape == (3, 32, 32, 4 * cfg.C)
     assert cfg2.G == 32 and cfg2.layout == "cell"
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (64, 3),
+                             minval=-0.9, maxval=0.9)  # inside the AABB
+    fa = triplane_features(p, cfg, pts)
+    fb = triplane_features(p2, cfg2, pts)
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_apply_shapes_and_density_channel():
