@@ -82,6 +82,11 @@ def main():
                          "refinement on the gated paths, --occ_fine): "
                          "when any value > 0 the sweep switches to a "
                          "focused preset set crossed with each n_fine")
+    ap.add_argument("--guided", type=str, default="",
+                    help="comma list of guided sample counts M: render-time "
+                         "proposal/coarse-guided fine sets "
+                         "(RenderConfig.guided) measured against the dense "
+                         "oracle, e.g. '32,48,64'")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke/insurance runs while "
                          "the TPU is busy or the tunnel is down)")
@@ -190,6 +195,21 @@ def main():
         retraw=False)[0])
     emit({"path": "dense 64+128", "s_per_frame": round(t_dense, 4)})
 
+    # ---- proposal/coarse-guided exact renders (RenderConfig.guided):
+    # the fine pass evaluates only M histogram-placed samples — no grid
+    # build, no tile heuristics (round-5 verdict item 3) ----
+    for M in [int(x) for x in a.guided.split(",") if x != ""]:
+        import dataclasses as _dc
+
+        r_g = Renderer(**_dc.asdict(_dc.replace(renderer.cfg, guided=M)))
+        rgb_g, t_g = timed(lambda r=r_g: r.render_from_pose(
+            Rs, Rs, Kr, 32768, c2w, (params["coarse"], cfg), fine,
+            retraw=False)[0])
+        p = psnr(rgb_g, rgb_dense)
+        emit({"path": f"guided M={M}", "psnr_vs_dense_db": round(p, 2),
+              "s_per_frame": round(t_g, 4),
+              "speedup_vs_dense": round(t_dense / t_g, 2)})
+
     rays_flat, _ = renderer._pack_rays(Rs, Rs, Kr, None, c2w, None)
     results = {}
     fine_sweep = any(nf > 0 for nf in fines)
@@ -208,8 +228,10 @@ def main():
         occ_presets = [(128, 64, "sort"), (128, 32, "sort"),
                        (64, 16, "sort"), (64, 16, "weighted"),
                        (128, 32, "weighted"), (64, 32, "weighted")]
+        # (128, 8) removed: the preset validator now REFUSES K < C/8
+        # (the measured ~11 dB conservative-marking collapse, BASELINE.md)
         fro_presets = [(64, 8, False), (64, 16, False), (64, 16, True),
-                       (128, 8, False), (128, 16, False), (64, 32, False)]
+                       (128, 16, False), (64, 32, False)]
     for nf in fines:
         sfx = f" fine={nf}" if nf else ""
         for C, Kp, sel in occ_presets:

@@ -47,14 +47,21 @@ def make_eval(images, poses, i_test, cfg, H, W, K, use_pallas):
                         use_pallas=use_pallas)
     K_d = jnp.asarray(K)
 
+    from nerf_shared_tpu.utils.metrics import ssim as _ssim
+
     def eval_psnr(params_fine):
-        mses = []
+        """(psnr_db, ssim) over the held-out views — SSIM joins the rows
+        per round-4 verdict item 8 (quality tables were PSNR-only)."""
+        mses, ssims = [], []
         for ti in i_test:
             rgb, _, _, _ = renderer.render_from_pose(
                 H, W, K_d, 32768, jnp.asarray(poses[ti][:3, :4]),
                 (params_fine, cfg), None, retraw=False)
             mses.append(float(jnp.mean((rgb - jnp.asarray(images[ti])) ** 2)))
-        return -10.0 * float(np.log10(np.mean(mses)))
+            ssims.append(float(_ssim(np.asarray(rgb),
+                                     np.asarray(images[ti]))))
+        return (-10.0 * float(np.log10(np.mean(mses))),
+                float(np.mean(ssims)))
 
     return eval_psnr
 
@@ -349,8 +356,9 @@ def main():
                             else f"hierarchical_{model_tag}")
                    + ("+ls" if ls is not None else "") + seed_tag,
                    "step": i + inner,
-                   "wall_s": round(wall, 2),
-                   "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
+                   "wall_s": round(wall, 2)}
+            _p, _s = eval_psnr(state.params["fine"])
+            rec["eval_psnr"], rec["eval_ssim"] = round(_p, 3), round(_s, 4)
             log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
         results["hierarchical"] = rec
 
@@ -360,7 +368,7 @@ def main():
         if "hierarchical" in results:
             summary["hierarchical"] = {
                 k: results["hierarchical"][k]
-                for k in ("wall_s", "eval_psnr")}
+                for k in ("wall_s", "eval_psnr", "eval_ssim")}
             if rcfg.proposal:
                 summary["impl"] = "proposal"
         print(json.dumps(summary))
@@ -438,8 +446,9 @@ def main():
         if (i + inner) % a.eval_every != 0:
             continue
         wall = time.perf_counter() - t0
-        rec = {"impl": impl, "step": i + inner, "wall_s": round(wall, 2),
-               "eval_psnr": round(eval_psnr(state.params["fine"]), 3)}
+        rec = {"impl": impl, "step": i + inner, "wall_s": round(wall, 2)}
+        _p, _s = eval_psnr(state.params["fine"])
+        rec["eval_psnr"], rec["eval_ssim"] = round(_p, 3), round(_s, 4)
         if occupied is not None:
             rec["occupied"] = occupied
         log.write(json.dumps(rec) + "\n"); log.flush(); print(rec)
@@ -448,10 +457,10 @@ def main():
 
     summary = {"metric": "ttq_occ", "steps": a.steps,
                "occ_gated": {k: results["occ_gated"][k]
-                             for k in ("wall_s", "eval_psnr")}}
+                             for k in ("wall_s", "eval_psnr", "eval_ssim")}}
     if "hierarchical" in results:
         summary["hierarchical"] = {k: results["hierarchical"][k]
-                                   for k in ("wall_s", "eval_psnr")}
+                                   for k in ("wall_s", "eval_psnr", "eval_ssim")}
         summary["speedup_wall"] = round(
             results["hierarchical"]["wall_s"]
             / max(results["occ_gated"]["wall_s"], 1e-9), 2)

@@ -331,8 +331,10 @@ def train(args):
     if fused_bwd:
         print("train path: fused Pallas fwd+bwd (auto; "
               "--fused_backward false for XLA autodiff)")
+    # guided sampling is a RENDER-time preset: training keeps the exact
+    # reference hierarchy (the interlevel/coarse losses assume it)
     rcfg = _dc.replace(
-        renderer.cfg, use_pallas=False, fused_backward=fused_bwd
+        renderer.cfg, use_pallas=False, fused_backward=fused_bwd, guided=0
     )
     train_occ = bool(getattr(args, "train_occ", False))
     if getattr(args, "proposal", False):

@@ -439,6 +439,17 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--occ_candidates", type=int, default=128,
                         help='candidate depths per ray triaged through the '
                              'occupancy grid before network evaluation')
+    parser.add_argument("--render_guided", type=int, default=0,
+                        help='proposal-guided exact-quality rendering: at '
+                             'RENDER time the fine pass evaluates only '
+                             'this many samples placed by the coarse/'
+                             'proposal histogram instead of the dense '
+                             'N_samples+N_importance union (e.g. 48 ≈ '
+                             '2-3x faster exact-path frames; needs no '
+                             'occupancy grid and works on any content '
+                             'straight from the checkpoint; multiple of 8 '
+                             'keeps the Pallas ray kernel eligible). '
+                             '0 = off. Training is unaffected.')
     parser.add_argument("--occ_keep", type=int, default=64,
                         help='network evaluations per ray: the nearest '
                              'occupied candidates kept after grid triage')

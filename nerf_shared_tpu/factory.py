@@ -191,6 +191,7 @@ def get_renderer(args, bds_dict) -> Renderer:
         and bool(getattr(args, "fused_composite", False)),
         remat=bool(getattr(args, "remat", False)),
         proposal=bool(getattr(args, "proposal", False)),
+        guided=int(getattr(args, "render_guided", 0)),
         **bds_dict,
     )
 

@@ -507,6 +507,21 @@ def render_image_froxels(
     Equivalent to render_flat_rays_occ with C=n_depth, K=n_keep up to the
     froxel discretization (see module docstring).
     """
+    if n_keep * 8 < n_depth:
+        # measured-degenerate preset class (BASELINE.md rounds 2-4): the
+        # conservative probe-lattice marking plus in-plane dilation marks
+        # MORE than K bins per column at these ratios, so nearest-K never
+        # reaches the true surface bins — C=128/K=8 renders collapse to
+        # ~11 dB on every scene tried. Refuse loudly rather than produce
+        # garbage frames (render budget guidance: raise n_keep to at
+        # least n_depth/8, or lower n_depth — C=64/K=16 and C=128/K=32
+        # are the validated presets).
+        raise ValueError(
+            f"froxel preset n_depth={n_depth}, n_keep={n_keep} is "
+            "degenerate: conservative bin marking exceeds the keep budget "
+            "(measured ~11 dB collapse at C=128/K=8, BASELINE.md). Use "
+            f"n_keep >= {n_depth // 8} for this n_depth, or a coarser "
+            "n_depth.")
     pf, fcfg_m = _model_parts(fine_model)
     fcfg = fcfg if fcfg is not None else fcfg_m
     if key is None:

@@ -86,3 +86,122 @@ def test_two_process_distributed_psum(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"RESULT {pid} 48.0" in out, out
+
+
+# module-level mark (the stray copy inside _WORKER marks nothing):
+# spawning 2-process clusters + 20-step trajectories is the slow tier
+pytestmark = __import__("pytest").mark.slow
+
+
+_TRAIN_WORKER = r"""
+import os, sys, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_PLATFORMS"] = "cpu"
+pid = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+
+import jax
+import numpy as np
+
+from nerf_shared_tpu.parallel import distributed
+from tests._dist_common import run_trajectory
+
+distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
+                       num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+mesh = distributed.global_mesh(("data",))
+assert mesh.devices.size == 8
+
+losses, state = run_trajectory(mesh)
+
+if pid == 0:
+    from nerf_shared_tpu.utils.checkpoints import save_checkpoints
+
+    # checkpoint FROM the multi-process training state (params are fully
+    # replicated, so process 0's addressable replica is the global value)
+    save_checkpoints(outdir, "dist", state, len(losses), fmt="native")
+    with open(os.path.join(outdir, "losses.json"), "w") as f:
+        json.dump(losses, f)
+print(f"RESULT {pid} {losses[-1]:.6f}", flush=True)
+"""
+
+
+def test_two_process_training_step_matches_single_process(tmp_path):
+    """The FULL fused DP train step over a 2-process x 4-device global mesh
+    (round-5 verdict item 4): 20 steps whose loss trajectory must match the
+    single-process 8-device mesh run of the identical problem — the psum
+    now crosses the process boundary on every step, not just once.
+    Process 0 checkpoints the distributed state; the parent resumes from it
+    single-process and keeps training."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf_shared_tpu.parallel.mesh import make_mesh
+    from tests._dist_common import run_trajectory
+
+    # reference: same problem on THIS process's 8 virtual devices
+    ref_losses, _ = run_trajectory(make_mesh(axis_names=("data",)))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = tmp_path / "worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(port),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd=repo)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out}"
+        assert f"RESULT {pid} " in out, out
+
+    dist_losses = json.load(open(tmp_path / "losses.json"))
+    assert len(dist_losses) == len(ref_losses)
+    # same trajectory to fp32 reduction-order tolerance: the gloo
+    # cross-process psum may sum in a different order than the
+    # single-process XLA reduction
+    np.testing.assert_allclose(dist_losses, ref_losses, rtol=2e-3,
+                               atol=1e-5)
+
+    # resume the distributed checkpoint single-process and keep training
+    from nerf_shared_tpu.models.nerf import NeRFConfig  # noqa: F401
+    from nerf_shared_tpu.utils.checkpoints import load_checkpoint
+    from nerf_shared_tpu.train.step import make_fused_train_step
+    from tests._dist_common import build_problem
+
+    class _Args:
+        basedir, expname, ft_path, no_reload = str(tmp_path), "dist", \
+            None, False
+
+    ccfg, rcfg, spec, images, poses, state = build_problem()
+    state, start = load_checkpoint(state, _Args())
+    assert start == len(dist_losses)
+    step = make_fused_train_step(rcfg, ccfg, ccfg, spec, donate=False)
+    st = state
+    key = jax.random.PRNGKey(7)
+    for i in range(3):
+        st, aux = step(st, images, poses, jax.random.fold_in(key, i))
+    resumed = float(aux["loss"])
+    assert np.isfinite(resumed)
+    # a converging run: the resumed loss stays in the trained regime, far
+    # below the from-scratch start
+    assert resumed < ref_losses[0] * 0.9

@@ -514,3 +514,17 @@ def test_sharded_froxel_fine_matches_single_device():
             np.asarray(single[k]), np.asarray(sharded[k]),
             rtol=1e-5, atol=1e-5, err_msg=k,
         )
+
+
+def test_froxel_refuses_degenerate_small_k_preset():
+    """K < C/8 presets are refused with the measured reason (round-5
+    verdict item 7): conservative marking exceeds the keep budget and
+    nearest-K never reaches the surface (~11 dB collapse at C=128/K=8)."""
+    import pytest
+
+    model, cfg = _model()
+    H = W = 16
+    K, c2w = _cam(H, W)
+    with pytest.raises(ValueError, match="degenerate"):
+        F.render_image_froxels(model, _full_grid(), _rcfg(), H, W, K, c2w,
+                               n_depth=128, n_keep=8)
