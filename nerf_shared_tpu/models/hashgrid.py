@@ -42,6 +42,24 @@ per-thread table lookups in L2):
   showed encoder-side precision is where bf16 costs dB; tables are tiny
   (2^19 x 2 x 4 B = 4 MB/level-group) so there is no memory pressure.
 
+- **One-hot-matmul pre-accumulation: probed by arithmetic and refuted as
+  a route to the 60k-rays/s bar (round 5).** For direct-indexed levels the
+  backward could avoid the scatter entirely: dT = E^T G with E the
+  [P, rows] one-hot of the cell indices is MXU work. Break-even against
+  the measured small-table scatter rate (~93M rows/s) is rows ~8k at 100
+  TFLOP/s effective (2*rows*P*8F FLOPs, P = 262k pts/step), so ONLY the
+  4096-row level-0 table qualifies — levels 1-7 sit at the 2^14 cap where
+  the matmul costs 5.5 ms vs the 2.8 ms scatter. An XLA implementation
+  additionally loses on HBM (materializing E costs ~2.1 GB/step/level —
+  more bandwidth than the scatter moves in total); a Pallas kernel could
+  build one-hot tiles in VMEM (iota==idx compare, no vector indexing
+  needed) and replace BOTH level-0 transfers (~5.5 ms of gather+scatter)
+  with ~1.4 ms of matmul — but that bounds the whole lever at ~+15%
+  (38k -> ~44k rays/s), far short of the 60k target. The hierarchical
+  hashgrid's placement is final: it is AT the XLA gather/scatter
+  issue-rate wall, and the family's fast estimators are occ-gated
+  (238k rays/s) and the mixed proposal hierarchy (48.5k).
+
 The decoder mirrors NGP: a 1-hidden-layer sigma net maps the L*F encoded
 features to [sigma, geo_feat]; the rgb net consumes [geo_feat, PE(dirs)].
 Raw output convention matches apply_nerf — pre-relu sigma, pre-sigmoid
