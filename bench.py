@@ -316,7 +316,7 @@ def main():
                 [_sys.executable, "main.py", "--config", "configs/lego.txt",
                  "--datadir", ds_dir, "--basedir", "/tmp/bench_cli",
                  "--expname", "cli_row", "--no_reload",
-                 "--N_iters", "800", "--i_print", "200",
+                 "--N_iters", "800", "--i_print", "100",
                  "--i_weights", "100000", "--i_testset", "100000",
                  "--i_video", "100000", "--i_img", "100000"],
                 capture_output=True, text=True,

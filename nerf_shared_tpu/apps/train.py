@@ -140,7 +140,28 @@ def _build_occ_grid(args, renderer, ds, H, W, K, coarse, fine):
     return grid
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache for the CLI (round 5): the lego
+    recipe's fused program costs 20-40 s to compile on a healthy axon
+    tunnel and minutes on a degraded one — repeat invocations (resume,
+    render_only, benchmarking) should not pay it twice. Keyed on the full
+    HLO + config, so results are unaffected. Disable with
+    NERF_TPU_COMPILE_CACHE=off; tests use their own cache (conftest)."""
+    cache = os.environ.get(
+        "NERF_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/nerf_shared_tpu/xla"))
+    if cache == "off":
+        return
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # pragma: no cover — cache is best-effort
+        print(f"compile cache unavailable ({e}); continuing without")
+
+
 def run(args) -> None:
+    _enable_compile_cache()
     if getattr(args, "jax_backend", "default") != "default":
         # must happen before any device query; the JAX_PLATFORMS env var
         # alone is NOT honored under the axon TPU plugin (tests/conftest.py)
