@@ -160,6 +160,28 @@ def _enable_compile_cache():
         print(f"compile cache unavailable ({e}); continuing without")
 
 
+def collapse_warning(last: int, psnr: float, args, already_warned: bool):
+    """Detect the white-background transparency trap (round-5 finding: the
+    reference lego recipe itself froze at 7.7 dB on one PRNG stream of the
+    107-view rehearsal dataset while an identical run on another stream
+    escaped). Mechanism: at init, sigma can be negative almost everywhere;
+    relu's dead zone gives zero density gradient, the model renders pure
+    background, and nothing ever unfreezes. Returns a warning string once,
+    or None. The escape levers are measured: --warmup_noise (sigma noise
+    re-opens the relu gradient), longer --precrop_iters, or another
+    --jax_seed."""
+    if already_warned or not bool(getattr(args, "white_bkgd", False)):
+        return None
+    precrop_end = int(getattr(args, "precrop_iters", 0))
+    if last < precrop_end + 1500 or last > 30_000 or psnr >= 10.0:
+        return None
+    return (f"training PSNR is stuck at {psnr:.1f} dB well past precrop — "
+            "this looks like the white-background transparency trap "
+            "(density frozen in the relu dead zone; the run will likely "
+            "never recover). Restart with --warmup_noise 2000, a longer "
+            "--precrop_iters, or a different --jax_seed.")
+
+
 def run(args) -> None:
     _enable_compile_cache()
     if getattr(args, "jax_backend", "default") != "default":
@@ -456,6 +478,29 @@ def train(args):
             loss_sampling=ls_spec,
             ema_decay=ema_decay,
         )
+    # --warmup_noise: sigma noise for the first N steps — the measured
+    # escape from the white-background transparency trap (relu-dead-zone
+    # collapse; PSNR sticks at ~8 dB, stream-dependent — observed on the
+    # reference lego recipe itself at the 107-view rehearsal dataset).
+    # The occ trainer has its own warmup machinery (--train_occ_warmup).
+    warmup_noise = (int(getattr(args, "warmup_noise", 0))
+                    if not train_occ else 0)
+    warm_step_fn = None
+    if warmup_noise > 0:
+        warm_step_fn = make_fused_train_step(
+            _dc.replace(rcfg, raw_noise_std=max(1.0, rcfg.raw_noise_std)),
+            ccfg, fcfg, spec, mesh=mesh, inner_steps=inner,
+            acc_reg=getattr(args, "acc_loss_weight", 0.0),
+            tv_reg=getattr(args, "tv_loss_weight", 0.0),
+            prop_reg=getattr(args, "proposal_loss_weight", 1.0),
+            dist_reg=getattr(args, "distortion_loss_weight", 0.0),
+            pose_anchor=bool(getattr(args, "pose_anchor", True)),
+            pose_start=int(getattr(args, "refine_poses_from", 500)),
+            barf_end=int(getattr(args, "barf_anneal", 0)),
+            barf_start=int(getattr(args, "barf_anneal_start", 0)),
+            loss_sampling=ls_spec,
+            ema_decay=ema_decay,
+        )
     # two-phase schedule (--train_occ_until): occupancy-gated speed for the
     # bulk of the run, the full hierarchical trainer for the quality tail;
     # at the switch the coarse branch is seeded from the trained fine net
@@ -723,8 +768,11 @@ def train(args):
             step_fn = hier_step_fn
             _phase["switched"] = True
             print(f"[PHASE] step {i - 1}: occ -> hierarchical; {seed_msg}")
-        state, aux = step_fn(state, images_tr, poses_tr,
-                             jax.random.fold_in(key, i))
+        _fn = (warm_step_fn
+               if warm_step_fn is not None and i <= warmup_noise
+               else step_fn)
+        state, aux = _fn(state, images_tr, poses_tr,
+                         jax.random.fold_in(key, i))
         i += inner
         rays_done += inner * args.N_rand
         last = i - 1
@@ -740,6 +788,14 @@ def train(args):
                 loss_v, psnr_v, last, tb_writer,
                 extra={"rays/sec": f"{rps:,.0f}"},
             )
+            msg = collapse_warning(last, psnr_v, args,
+                                   _phase.get("collapse_warned", False))
+            if msg:
+                _phase["collapse_warned"] = True
+                import warnings as _w
+
+                _w.warn(msg, UserWarning, stacklevel=1)
+                print(f"[RECIPE WARNING] {msg}")
             t0 = time.perf_counter()
             rays_done = 0
 

@@ -439,6 +439,16 @@ def config_parser() -> ConfigArgumentParser:
     parser.add_argument("--occ_candidates", type=int, default=128,
                         help='candidate depths per ray triaged through the '
                              'occupancy grid before network evaluation')
+    parser.add_argument("--warmup_noise", type=int, default=0,
+                        help='sigma-noise warmup: train the first N steps '
+                             'with raw_noise_std>=1.0, then the configured '
+                             'value. The measured escape from the white-'
+                             'background transparency trap (a stream-'
+                             'dependent collapse where sigma freezes in '
+                             'the relu dead zone and PSNR sticks at ~8 '
+                             'dB; the reference recipe is vulnerable to '
+                             'it too). The trainer prints a collapse '
+                             'warning when it detects the trap.')
     parser.add_argument("--render_guided", type=int, default=0,
                         help='proposal-guided exact-quality rendering: at '
                              'RENDER time the fine pass evaluates only '

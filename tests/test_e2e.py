@@ -1032,3 +1032,38 @@ def test_e2e_ema_excludes_occ_trainer(tmp_path):
     args = config_parser().parse_args(["--config", cfg_path])
     with pytest.raises(SystemExit):
         run(args)
+
+
+def test_collapse_warning_fires_and_is_one_shot():
+    """The transparency-trap detector (apps/train.collapse_warning): fires
+    exactly for stuck-PSNR white-bkgd runs past precrop, once."""
+    from nerf_shared_tpu.apps.train import collapse_warning
+
+    class A:
+        white_bkgd = True
+        precrop_iters = 500
+
+    assert collapse_warning(3000, 7.7, A(), False) is not None
+    assert collapse_warning(3000, 7.7, A(), True) is None      # one-shot
+    assert collapse_warning(1000, 7.7, A(), False) is None     # too early
+    assert collapse_warning(3000, 15.0, A(), False) is None    # healthy
+    assert collapse_warning(50_000, 7.7, A(), False) is None   # past window
+    a = A(); a.white_bkgd = False
+    assert collapse_warning(3000, 7.7, a, False) is None       # no trap
+
+
+def test_warmup_noise_smoke(tmp_path):
+    """--warmup_noise N trains through the noise phase and the switch to
+    the noiseless step without error (the CLI escape hatch for the
+    transparency trap)."""
+    root = str(tmp_path)
+    datadir = os.path.join(root, "scene")
+    os.makedirs(datadir)
+    _write_scene(datadir, size=16, n_train=3)
+    cfg_path = _write_config(root, datadir, os.path.join(root, "logs"),
+                             N_iters=16, i_weights=16)
+    args = config_parser().parse_args(
+        ["--config", cfg_path, "--warmup_noise", "8", "--N_rand", "64"])
+    train_mod_run(args)
+    out = os.path.join(root, "logs", "tiny_e2e")
+    assert any(f.endswith(".ckpt.npz") for f in os.listdir(out))
