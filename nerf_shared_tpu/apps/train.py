@@ -689,7 +689,8 @@ def train(args):
         print(f"[PHASE] resume at step {i} > {occ_until}: "
               "hierarchical phase")
     t0 = time.perf_counter()
-    rays_done = 0
+    t_train_start = t0   # wall anchor for the elapsed column (round 5:
+    rays_done = 0        # time-to-quality curves need wall per log line)
     while i < N_iters:
         while upsample_ms and i > upsample_ms[0][0]:
             from nerf_shared_tpu.models.triplane import upsample_triplane
@@ -786,7 +787,8 @@ def train(args):
             rps = rays_done / dt if dt > 0 else 0.0
             print_statistics(
                 loss_v, psnr_v, last, tb_writer,
-                extra={"rays/sec": f"{rps:,.0f}"},
+                extra={"rays/sec": f"{rps:,.0f}",
+                       "elapsed": f"{time.perf_counter() - t_train_start:.0f}s"},
             )
             msg = collapse_warning(last, psnr_v, args,
                                    _phase.get("collapse_warned", False))
@@ -860,7 +862,8 @@ def train(args):
 
             val_ssim = float(_ssim(np.asarray(rgb), ds.images[val_i]))
             print(f"[VAL] Iter: {last} view {val_i} PSNR: {val_psnr:.3f} "
-                  f"SSIM: {val_ssim:.4f}")
+                  f"SSIM: {val_ssim:.4f} "
+                  f"elapsed: {time.perf_counter() - t_train_start:.0f}s")
             if tb_writer is not None:
                 tb_writer.add_scalar("Val/PSNR", val_psnr, last)
                 tb_writer.add_scalar("Val/SSIM", val_ssim, last)
