@@ -160,6 +160,21 @@ def _enable_compile_cache():
         print(f"compile cache unavailable ({e}); continuing without")
 
 
+def resolve_fused_backward(args, backend: str) -> bool:
+    """--fused_backward auto resolution (round-5 default): ON for the MLP
+    family on TPU — the fused Pallas fwd+bwd kernel is parity-validated vs
+    the torch reference at every measured horizon (BASELINE.md
+    5k/15k/30k/200k rows) and ~1.7x faster, so the shipped CLI gets the
+    benchmarked path out of the box. Explicit true/false overrides; the
+    Pallas kernels are MLP-family-only and TPU-only, so grid families and
+    CPU/GPU backends always take XLA autodiff."""
+    fb = getattr(args, "fused_backward", None)
+    if fb is None:
+        fb = True
+    return (bool(fb) and backend == "tpu"
+            and getattr(args, "model_type", "nerf") == "nerf")
+
+
 def collapse_warning(last: int, psnr: float, args, already_warned: bool):
     """Detect the white-background transparency trap (round-5 finding: the
     reference lego recipe itself froze at 7.7 dB on one PRNG stream of the
@@ -360,17 +375,7 @@ def train(args):
     # backward re-runs the jnp twin), so it is cleared here.
     import dataclasses as _dc
 
-    _fb = getattr(args, "fused_backward", None)
-    if _fb is None:
-        # auto (round-5 default): the fused Pallas fwd+bwd kernel is
-        # parity-validated vs the torch reference at every measured
-        # horizon (BASELINE.md 5k/15k/30k/200k rows) and ~1.7x faster,
-        # so the shipped CLI gets the benchmarked path out of the box.
-        _fb = True
-    fused_bwd = bool(_fb) and (
-        jax.default_backend() == "tpu"
-    ) and getattr(args, "model_type", "nerf") == "nerf"  # Pallas kernels
-    # are MLP-family only; grid families train through XLA autodiff
+    fused_bwd = resolve_fused_backward(args, jax.default_backend())
     if fused_bwd:
         print("train path: fused Pallas fwd+bwd (auto; "
               "--fused_backward false for XLA autodiff)")

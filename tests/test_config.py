@@ -200,3 +200,22 @@ def test_recipe_warnings_fire_on_measured_footguns():
     a = config_parser().parse_args(
         base + ["--model_type", "hashgrid", "--hash_max_res", "512"])
     assert recipe_warnings(a, n_train_views=100, render_h=400) == []
+
+
+def test_fused_backward_auto_resolution():
+    """Round-5 default: the CLI trains on the fused Pallas path for the
+    MLP family on TPU out of the box; grid families / non-TPU backends /
+    explicit false all fall back to XLA autodiff."""
+    from nerf_shared_tpu.apps.train import resolve_fused_backward
+    from nerf_shared_tpu.config import config_parser
+
+    base = ["--expname", "x", "--datadir", "y"]
+    a = config_parser().parse_args(base)
+    assert resolve_fused_backward(a, "tpu") is True       # auto-on
+    assert resolve_fused_backward(a, "cpu") is False      # TPU only
+    a = config_parser().parse_args(base + ["--fused_backward", "false"])
+    assert resolve_fused_backward(a, "tpu") is False      # explicit off
+    a = config_parser().parse_args(base + ["--model_type", "hashgrid"])
+    assert resolve_fused_backward(a, "tpu") is False      # grid family
+    a = config_parser().parse_args(base + ["--fused_backward", "true"])
+    assert resolve_fused_backward(a, "cpu") is False      # kernels are TPU-only
