@@ -113,6 +113,17 @@ def main():
               "psnr_vs_dense_db": round(psnr(rgb, dense), 2),
               "psnr_vs_gt": round(psnr(rgb, gt), 2),
               "ssim_vs_gt": round(float(ssim_fn(rgb, gt)), 4)})
+        # the trivial baseline guided must beat: the SAME sample budget
+        # spent the reference way (fine pass on the coarse∪placed union,
+        # i.e. plain rendering with N_importance=M)
+        rgb, t = timed_render(
+            dataclasses.replace(eval_cfg, N_importance=M))
+        emit({"path": f"dense {eval_cfg.N_samples}+{M}",
+              "ckpt_step": start, "s_per_frame": round(t, 4),
+              "speedup_vs_dense": round(t_dense / t, 2),
+              "psnr_vs_dense_db": round(psnr(rgb, dense), 2),
+              "psnr_vs_gt": round(psnr(rgb, gt), 2),
+              "ssim_vs_gt": round(float(ssim_fn(rgb, gt)), 4)})
     if log_f:
         log_f.close()
 
