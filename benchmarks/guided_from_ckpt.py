@@ -50,6 +50,9 @@ def main():
                     help="held-out split to render (first view)")
     ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
+    from nerf_shared_tpu.apps.train import _enable_compile_cache
+
+    _enable_compile_cache()
     if getattr(args, "jax_backend", "default") != "default":
         jax.config.update("jax_platforms", args.jax_backend)
         if jax.default_backend() != args.jax_backend:
